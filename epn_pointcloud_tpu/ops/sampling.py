@@ -1,0 +1,177 @@
+"""Core point-sampling / neighborhood ops, TPU-native (static shapes, jnp).
+
+These replace the reference's three CUDA extensions
+(vgtk/vgtk/cuda/{gathering,grouping}_cuda_kernel.cu) with XLA-friendly
+formulations. All shapes are static; ragged neighborhoods are padded with the
+reference's own conventions (repeat-fill in ball query, shadow point/feature
+appended by callers).
+
+Layout convention of the whole framework: points channels-last —
+  xyz   [b, p, 3]
+  feats [b, p, a, c]
+(The reference is channels-first [b, 3, p] / [b, c, p, a]; channels-last maps
+better onto TPU lanes.)
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+SHADOW_COORD = 1e4   # ref: spconv/functional.py:83-87
+FPS_SHADOW_EPS = 1e-3  # ref: grouping_cuda_kernel.cu:385-387
+
+
+# ---------------------------------------------------------------------------
+# Gather (ref: gathering_cuda_kernel.cu:42-98 fwd / bwd; JAX AD supplies the
+# scatter-add backward automatically)
+# ---------------------------------------------------------------------------
+
+def gather_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched index gather along the point axis (axis=1).
+
+    feats [b, n, ...], idx [b, m1(, m2, ...)] -> [b, m1(, m2, ...), ...]
+    (ref: vgtk/utils.py:25-27 batch_gather + pc/sample.py:46-50 group_nd,
+    transposed to channels-last).
+    """
+    b = feats.shape[0]
+    flat_idx = idx.reshape(b, -1)
+    out = jnp.take_along_axis(
+        feats, flat_idx.reshape((b, -1) + (1,) * (feats.ndim - 2)), axis=1)
+    return out.reshape(idx.shape + feats.shape[2:])
+
+
+# ---------------------------------------------------------------------------
+# Furthest point sampling (ref: grouping_cuda_kernel.cu:351-466)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=('n_sample',))
+def furthest_point_sampling(xyz: jnp.ndarray, n_sample: int) -> jnp.ndarray:
+    """Iterative FPS. xyz [b, n, 3] -> int32 idx [b, n_sample].
+
+    Reference semantics: the first sample is always index 0; points with
+    squared norm <= 1e-3 (shadow guard) are never selected.
+    """
+    b, n, _ = xyz.shape
+    mag = jnp.sum(xyz ** 2, axis=-1)                    # [b, n]
+    valid = mag > FPS_SHADOW_EPS                        # [b, n]
+
+    def body(j, state):
+        idxs, temp, old = state
+        x1 = jnp.take_along_axis(xyz, old[:, None, None], axis=1)  # [b,1,3]
+        d = jnp.sum((xyz - x1) ** 2, axis=-1)                      # [b,n]
+        temp = jnp.minimum(temp, d)
+        cand = jnp.where(valid, temp, -jnp.inf)
+        new = jnp.argmax(cand, axis=1).astype(jnp.int32)           # [b]
+        idxs = idxs.at[:, j].set(new)
+        return idxs, temp, new
+
+    idxs0 = jnp.zeros((b, n_sample), dtype=jnp.int32)
+    temp0 = jnp.full((b, n), jnp.inf, dtype=xyz.dtype)
+    old0 = jnp.zeros((b,), dtype=jnp.int32)
+    idxs, _, _ = jax.lax.fori_loop(1, n_sample, body, (idxs0, temp0, old0))
+    return idxs
+
+
+def furthest_sample(xyz: jnp.ndarray, n_sample: int, lazy_sample: bool = True):
+    """idx [b, n_sample], sampled xyz [b, n_sample, 3]
+    (ref: pc/sample.py:63-77). `lazy_sample` or n == n_sample short-circuits
+    to arange — the reference uses FPS only at block0/layer0."""
+    b, n, _ = xyz.shape
+    if lazy_sample or n == n_sample:
+        idx = jnp.broadcast_to(jnp.arange(n_sample, dtype=jnp.int32)[None], (b, n_sample))
+        return idx, xyz[:, :n_sample]
+    idx = furthest_point_sampling(xyz, n_sample)
+    return idx, gather_points(xyz, idx)
+
+
+# ---------------------------------------------------------------------------
+# Ball query (ref: grouping_cuda_kernel.cu:67-113)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=('n_sample',))
+def ball_query(query: jnp.ndarray, support: jnp.ndarray, radius: float,
+               n_sample: int) -> jnp.ndarray:
+    """For each query point, the FIRST `n_sample` support indices (in point
+    index order) with squared distance < radius^2; short neighborhoods are
+    repeat-filled periodically. query [b,m,3], support [b,n,3] ->
+    int32 [b,m,n_sample].
+
+    Matches the reference kernel's order semantics (first hits win, not
+    nearest hits). Deviation: the reference leaves the final slot 0 when
+    exactly n_sample-1 hits are found (an off-by-one in its repeat fill,
+    grouping_cuda_kernel.cu:100); we fill it periodically instead.
+    """
+    b, m, _ = query.shape
+    n = support.shape[1]
+    r2 = radius * radius
+
+    # Direct-difference form matches the reference CUDA kernel's fp32
+    # behavior at the radius boundary (the |q|^2+|s|^2-2qs expansion loses
+    # precision there and flips borderline hits).
+    d2 = jnp.sum((query[:, :, None, :] - support[:, None, :, :]) ** 2, -1)
+    hit = d2 < r2
+
+    rank = jnp.cumsum(hit, axis=-1) - 1                          # hit order
+    cnt = jnp.maximum(rank[..., -1] + 1, 0)                      # [b,m] hits
+
+    # Scatter support index k into slot rank[k] (first n_sample hits only).
+    slot = jnp.where(hit & (rank < n_sample), rank, n_sample)    # dump slot
+    out = jnp.zeros((b, m, n_sample + 1), dtype=jnp.int32)
+    bidx = jnp.arange(b)[:, None, None]
+    midx = jnp.arange(m)[None, :, None]
+    kidx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, None, :], (b, m, n))
+    out = out.at[bidx, midx, slot].set(kidx, mode='drop')
+    out = out[..., :n_sample]
+
+    # Periodic repeat fill: idx[s] = idx[s % cnt] for s >= cnt (cnt=0 -> 0).
+    s = jnp.arange(n_sample)[None, None, :]
+    cnt_safe = jnp.maximum(cnt, 1)[..., None]
+    src = jnp.where(s < cnt[..., None], s, s % cnt_safe)
+    return jnp.take_along_axis(out, src, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Shadow padding (ref: spconv/functional.py:81-95)
+# ---------------------------------------------------------------------------
+
+def add_shadow_point(xyz: jnp.ndarray) -> jnp.ndarray:
+    """[b, n, 3] -> [b, n+1, 3] with a far-away shadow coordinate."""
+    b = xyz.shape[0]
+    shadow = jnp.full((b, 1, xyz.shape[2]), SHADOW_COORD, dtype=xyz.dtype)
+    return jnp.concatenate([xyz, shadow], axis=1)
+
+
+def add_shadow_feature(feats: jnp.ndarray) -> jnp.ndarray:
+    """[b, n, a, c] -> [b, n+1, a, c] with zero shadow features."""
+    b, _, a, c = feats.shape
+    return jnp.concatenate(
+        [feats, jnp.zeros((b, 1, a, c), dtype=feats.dtype)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Combined grouping used by inter conv (ref: spconv/functional.py:412-421)
+# ---------------------------------------------------------------------------
+
+def inter_grouping_ball(xyz: jnp.ndarray, stride: int, radius: float,
+                        n_neighbor: int, lazy_sample: bool = True):
+    """FPS(stride) -> ball query -> localized neighbor coordinates.
+
+    xyz [b, p1, 3] ->
+      grouped_xyz [b, p2, nn, 3] (relative to sample centers),
+      ball_idx    [b, p2, nn],
+      sample_idx  [b, p2],
+      sample_xyz  [b, p2, 3]
+    where p2 = ceil(p1 / stride).
+    """
+    p1 = xyz.shape[1]
+    n_sample = math.ceil(p1 / stride)
+    sample_idx, sample_xyz = furthest_sample(xyz, n_sample, lazy_sample)
+    ball_idx = ball_query(sample_xyz, xyz, radius, n_neighbor)
+    support = add_shadow_point(xyz)
+    grouped_xyz = gather_points(support, ball_idx)      # [b, p2, nn, 3]
+    grouped_xyz = grouped_xyz - sample_xyz[:, :, None, :]
+    return grouped_xyz, ball_idx, sample_idx, sample_xyz

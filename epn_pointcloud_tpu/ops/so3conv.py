@@ -1,0 +1,324 @@
+"""SO(3)-anchor equivariant convolution functional core (jnp, static shapes).
+
+Rebuild of vgtk/vgtk/so3conv/functional.py and the live parts of
+vgtk/vgtk/spconv/functional.py as dense tensor algebra for XLA/TPU.
+
+Layout: xyz [b, p, 3]; feats [b, p, a, c] (channels-last; the reference is
+channels-first [b, c, p, a]).
+
+The inter conv pipeline per layer (ref: so3conv/functional.py:118-218 +
+spconv/functional.py:372-390):
+  1. FPS(stride) -> ball query -> localized grouped_xyz       (sampling.py)
+  2. anchor weights  w[b,p,n,a,k] = relu(1 - d^2 / sigma),
+       d^2 = || grouped_xyz - R_a @ kappa_k ||^2
+  3. gather neighbor features (with zero shadow feature at index p1)
+  4. contraction  out[b,p,a,k,c] = sum_n w[b,p,n,a,k] * G[b,p,n,a,c]
+followed by the learned BasicSO3Conv matmul over (k, c) in the nn layer.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import sampling
+
+
+class SphericalPointCloud(NamedTuple):
+    """Value container threaded through conv layers (ref: spconv/base.py:4-21).
+
+    xyz [b, p, 3]; feats [b, p, a, c]; anchors [a, 3, 3] or None.
+    """
+    xyz: jnp.ndarray
+    feats: jnp.ndarray
+    anchors: Optional[jnp.ndarray]
+
+
+def get_occupancy_features(pc: jnp.ndarray, n_anchor: int,
+                           use_center: bool = False) -> jnp.ndarray:
+    """[b, p, 3|6] -> occupancy-ones features [b, p, na, c]
+    (ref: so3conv/functional.py:25-44). With normals (6-dim input), the
+    per-anchor rotated normals are appended as 3 extra channels."""
+    b, p, nd = pc.shape
+    feats = jnp.ones((b, p, n_anchor, 1), dtype=pc.dtype)
+    if nd == 6:
+        from . import icosahedron
+        ns = pc[:, :, 3:]
+        if n_anchor > 1:
+            anchors = jnp.asarray(icosahedron.get_anchors(n_anchor), pc.dtype)
+            # ref einsum 'bni,aij->bjna' == per-anchor rotated normal channels
+            fn = jnp.einsum('bpi,aij->bpaj', ns, anchors)
+        else:
+            fn = ns[:, :, None, :]
+        feats = jnp.concatenate([feats, fn], axis=-1)
+    if use_center:
+        feats = feats.at[:, 0].set(0.0)
+    return feats
+
+
+def preprocess_input(x: jnp.ndarray, na: int,
+                     add_center: bool = True) -> SphericalPointCloud:
+    """[b, p, 3|6] -> SphericalPointCloud (ref: base_so3conv.py:16-23)."""
+    has_normals = x.shape[2] == 6
+    if add_center and not has_normals:
+        center = jnp.mean(x, axis=1, keepdims=True)
+        x = jnp.concatenate([center, x], axis=1)[:, :-1]
+    xyz = x[:, :, :3]
+    return SphericalPointCloud(xyz, get_occupancy_features(x, na, add_center), None)
+
+
+# ---------------------------------------------------------------------------
+# Inter (spatial) conv grouping
+# ---------------------------------------------------------------------------
+
+def inter_conv_anchor_weights(grouped_xyz: jnp.ndarray, anchors: jnp.ndarray,
+                              kernels: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Kernel-point influence weights under each anchor rotation
+    (ref: inter_so3conv_grouping_anchor, so3conv/functional.py:180-218).
+
+    grouped_xyz [b, p, n, 3]; anchors [a, 3, 3]; kernels [k, 3]
+      -> w [b, p, n, a, k] = relu(1 - ||gx - R_a kappa||^2 / sigma)
+
+    Computed by expansion so the cross term is a single MXU matmul:
+      ||gx - rk||^2 = |gx|^2 + |kappa|^2 - 2 gx . (R_a kappa).
+    """
+    rk = jnp.einsum('aij,kj->aki', anchors, kernels)          # [a, k, 3]
+    gx2 = jnp.sum(grouped_xyz ** 2, axis=-1)                  # [b, p, n]
+    k2 = jnp.sum(kernels ** 2, axis=-1)                       # [k]
+    cross = jnp.einsum('bpnc,akc->bpnak', grouped_xyz, rk)    # [b, p, n, a, k]
+    d2 = gx2[..., None, None] + k2[None, None, None, None, :] - 2.0 * cross
+    return jax.nn.relu(1.0 - d2 / sigma)
+
+
+def inter_feat_grouping(grouped_feats: jnp.ndarray,
+                        inter_w: jnp.ndarray) -> jnp.ndarray:
+    """Neighbor contraction (ref: inter_zpconv_grouping_naive,
+    spconv/functional.py:372-390, einsum 'bcpna,bpakn->bckpa').
+
+    grouped_feats [b, p, n, a, c]; inter_w [b, p, n, a, k]
+      -> [b, p, a, k, c]
+    """
+    return jnp.einsum('bpnak,bpnac->bpakc', inter_w, grouped_feats)
+
+
+def inter_so3conv_grouping(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
+                           n_neighbor: int, anchors: jnp.ndarray,
+                           kernels: jnp.ndarray, radius: float, sigma: float,
+                           inter_idx=None, inter_w=None, lazy_sample=True,
+                           radius_expansion: float = 1.0, pooling=None):
+    """Full inter-conv grouping (ref: so3conv/functional.py:118-178).
+
+    Returns (inter_idx, inter_w, new_xyz, new_feats [b,p2,a,k,c], sample_idx).
+    inter_idx/inter_w are reusable across consecutive stride-1 layers.
+    """
+    if pooling is not None and stride > 1 and feats.shape[-1] > 1:
+        # Low-pass blurring before strided conv (ref: functional.py:133-147)
+        if pooling == 'stride':
+            pool_stride, stride_nn, stride = stride, int(n_neighbor * stride ** 0.5), 1
+        elif pooling == 'no-stride':
+            pool_stride, stride_nn = 1, n_neighbor
+        else:
+            raise NotImplementedError(f'pooling mode {pooling}')
+        feats, xyz = inter_so3conv_blurring(
+            xyz, feats, stride_nn, radius, pool_stride, inter_idx, lazy_sample)
+        inter_idx = None
+
+    if inter_idx is None:
+        grouped_xyz, inter_idx, sample_idx, new_xyz = sampling.inter_grouping_ball(
+            xyz, stride, radius * radius_expansion, n_neighbor, lazy_sample)
+        inter_w = inter_conv_anchor_weights(grouped_xyz, anchors, kernels, sigma)
+    else:
+        sample_idx, new_xyz = None, xyz
+
+    feats = sampling.add_shadow_feature(feats)
+    grouped_feats = sampling.gather_points(feats, inter_idx)  # [b,p2,n,a,c]
+    new_feats = inter_feat_grouping(grouped_feats, inter_w)
+    return inter_idx, inter_w, new_xyz, new_feats, sample_idx
+
+
+def inter_so3conv_blurring(xyz, feats, n_neighbor, radius, stride,
+                           inter_idx=None, lazy_sample=True,
+                           radius_expansion: float = 1.0):
+    """Mean-neighborhood low-pass (ref: so3conv/functional.py:108-116,
+    spconv/functional.py:393-407)."""
+    if inter_idx is None:
+        _, inter_idx, sample_idx, sample_xyz = sampling.inter_grouping_ball(
+            xyz, stride, radius * radius_expansion, n_neighbor, lazy_sample)
+    if stride == 1:
+        return inter_blurring(inter_idx, feats), xyz
+    return inter_pooling(inter_idx, sample_idx, feats), sample_xyz
+
+
+def inter_blurring(inter_idx, feats, alpha: float = 0.5):
+    """alpha*f + (1-alpha)*neighborhood mean (ref: inter_blurring_naive)."""
+    grouped = sampling.gather_points(sampling.add_shadow_feature(feats), inter_idx)
+    return alpha * feats + (1 - alpha) * grouped.mean(axis=2)
+
+
+def inter_pooling(inter_idx, sample_idx, feats, alpha: float = 0.5):
+    """Strided blur (ref: inter_pooling_naive, spconv/functional.py:393-399)."""
+    new_feats = sampling.gather_points(feats, sample_idx)
+    grouped = sampling.gather_points(sampling.add_shadow_feature(feats), inter_idx)
+    return alpha * new_feats + (1 - alpha) * grouped.mean(axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Intra (rotation-group) conv grouping
+# ---------------------------------------------------------------------------
+
+def intra_so3conv_grouping(intra_idx: jnp.ndarray,
+                           feats: jnp.ndarray) -> jnp.ndarray:
+    """Gather along the anchor axis with the 60x12 group adjacency
+    (ref: so3conv/functional.py:221-268).
+
+    intra_idx [a_out, k]; feats [b, p, a_in, c] -> [b, p, a_out, k, c]
+    """
+    return feats[:, :, intra_idx, :]
+
+
+# ---------------------------------------------------------------------------
+# Equivariant PointNet pooling (ref: so3conv/modules.py:203-235 forward math)
+# ---------------------------------------------------------------------------
+
+def pointnet_so3_coords(xyz: jnp.ndarray, anchors: jnp.ndarray) -> jnp.ndarray:
+    """Per-anchor inversely-rotated, centered coordinates
+    (ref einsum 'aji,bjn->bina'): [b,p,3] x [a,3,3] -> [b,p,a,3]."""
+    xyz = xyz - xyz.mean(axis=1, keepdims=True)
+    return jnp.einsum('aji,bpj->bpai', anchors, xyz)
+
+
+# ---------------------------------------------------------------------------
+# Legacy ZPConv capability surface (API-parity; not on the live model path)
+# ---------------------------------------------------------------------------
+
+def anchor_knn(a_src: jnp.ndarray, a_tgt: jnp.ndarray, k: int = 3,
+               metric: str = 'spherical'):
+    """kNN between anchor direction sets (ref: spconv/functional.py:145-163)."""
+    from .rotation import acos_safe
+    dots = jnp.sum(a_src[None] * a_tgt[:, None], axis=2)  # [a_tgt, a_src]
+    if metric == 'spherical':
+        dists = dots - 1.0
+        val, idx = jax.lax.top_k(dists, k)
+    elif metric == 'angular':
+        dists = acos_safe(dots)
+        val, idx = jax.lax.top_k(-dists, k)
+        val = -val
+    else:
+        dists = jnp.sum((a_src[None] - a_tgt[:, None]) ** 2, axis=2)
+        val, idx = jax.lax.top_k(-dists, k)
+        val = -val
+    return val, idx
+
+
+def intra_kernel_weights(anchor_in, anchor_out, kernels, ann, aperture,
+                         sigma: float = 1e-1, use_suppression: bool = False):
+    """Angular-bin intra-conv weights (ref: get_intra_kernel_weights,
+    spconv/functional.py:167-206). kernels: [ks] angular bins.
+    Returns (idx [a_out, ann] int32, influence [a_out, ks, ann])."""
+    import numpy as np
+    anchor_out = anchor_in if anchor_out is None else anchor_out
+    angles, idx = anchor_knn(anchor_in, anchor_out, k=ann, metric='angular')
+    ang = angles[:, None, :]                       # [a_out, 1, ann]
+    ker = kernels[None, :, None]                   # [1, ks, 1]
+    influence = jnp.abs(ang - ker) / np.pi
+    influence = jax.nn.relu(1.0 - influence / (3 * (sigma / 2.0) ** 0.5))
+    if use_suppression:
+        sup = (angles <= 0.5 * aperture).astype(influence.dtype)[:, None, :]
+        influence = influence * sup
+    return idx.astype(jnp.int32), influence
+
+
+def intra_zpconv_grouping_naive(intra_idx, intra_w, feats):
+    """Legacy weighted intra grouping (ref: spconv/functional.py:251-271).
+
+    intra_idx [a_out, nn]; intra_w [a_out, ks, nn]; feats [b, p, a_in, c]
+      -> [b, p, a_out, ks, c]
+    """
+    grouped = feats[:, :, intra_idx, :]            # [b, p, a_out, nn, c]
+    return jnp.einsum('akn,bpanc->bpakc', intra_w, grouped)
+
+
+def inter_zpconv_anchor_weights(grouped_xyz, anchors_dir, ring_kernels,
+                                sigma: float):
+    """Ring-kernel inter weights in (r, theta) coords (ref:
+    inter_zpconv_grouping_anchor, spconv/functional.py:424-485).
+
+    grouped_xyz [b, p, n, 3] (local); anchors_dir [a, 3] unit directions;
+    ring_kernels [ks, 2] (r, theta) -> w [b, p, a, ks, n].
+    """
+    from .rotation import acos_safe
+    norm = jnp.sqrt(jnp.sum(grouped_xyz ** 2, axis=-1)) + 1e-6   # [b,p,n]
+    cos_theta = jnp.einsum('bpnc,ac->bpan', grouped_xyz, anchors_dir) / norm[:, :, None]
+    theta = acos_safe(cos_theta)[:, :, :, None, :]               # [b,p,a,1,n]
+    norm2 = norm[:, :, None, None, :]                            # [b,p,1,1,n]
+    knorm = ring_kernels[:, 0][None, None, None, :, None]
+    ktheta = ring_kernels[:, 1][None, None, None, :, None]
+    ratio = 3.0
+    dist1 = jnp.abs(norm2 - knorm) + jnp.abs(norm2 * (theta - ktheta)) / ratio
+    return jax.nn.relu(1.0 - dist1 / jnp.sqrt(sigma))
+
+
+def inter_zpconv_grouping_naive(inter_idx, inter_w, feats):
+    """Legacy inter grouping with [b,p,a,ks,n] weights
+    (ref: spconv/functional.py:372-390 with the zpconv weight layout).
+
+    inter_idx [b, p, n]; inter_w [b, p, a, ks, n]; feats [b, q, a, c]
+    (already shadow-padded) -> [b, p, a, ks, c]
+    """
+    grouped = sampling.gather_points(feats, inter_idx)  # [b, p, n, a, c]
+    return jnp.einsum('bpakn,bpnac->bpakc', inter_w, grouped)
+
+
+def initial_anchor_query(frag: jnp.ndarray, centers: jnp.ndarray,
+                         kernels: jnp.ndarray, radius: float, sigma: float):
+    """Density-weighted anchor occupancy of a raw fragment vs per-anchor
+    rotated kernel points (ref: initial_anchor_query,
+    grouping_cuda_kernel.cu:116-167).
+
+    frag [m, 3] raw points; centers [b, nc, 3]; kernels [ks, a, 3]
+      -> (weights [b, nc, a, ks], counts [b, nc, a, ks])
+    Weight = sum over fragment points within `radius` of the center of
+    relu(1 - d(point, center + R kappa)^2 / sigma); count = #points in radius.
+    """
+    # d(point, center): [b, nc, m]
+    d_pc = jnp.linalg.norm(centers[:, :, None, :] - frag[None, None, :, :], axis=-1)
+    in_ball = (d_pc <= radius)                                   # [b, nc, m]
+    # kernel absolute positions per (center, k, a): centers + kernels
+    # d(point, center + kappa_{k,a})^2: [b, nc, m, ks, a]
+    rel = frag[None, None, :, None, None, :] - centers[:, :, None, None, None, :] \
+        - kernels[None, None, None, :, :, :]
+    d2 = jnp.sum(rel ** 2, axis=-1)
+    w = jax.nn.relu(1.0 - d2 / sigma) * in_ball[..., None, None]
+    weights = jnp.transpose(w.sum(axis=2), (0, 1, 3, 2))         # [b, nc, a, ks]
+    counts = (in_ball.sum(axis=2).astype(frag.dtype))[..., None, None]
+    counts = jnp.broadcast_to(counts, weights.shape)
+    return weights, counts
+
+
+def compute_anchor_weights(anchor_in, anchor_out, k: int = 3,
+                           sigma: float = 1e-1, interpolation: str = 'inv'):
+    """kNN anchor interpolation weights (ref: spconv/functional.py:519-550)."""
+    if interpolation == 'spherical':
+        dists = jnp.einsum('ic,jc->ji', anchor_in, anchor_out) - 1.0
+        val, idx = jax.lax.top_k(dists, k)
+        w = jax.nn.softmax(val / sigma, axis=1)
+    elif interpolation == 'euclidean':
+        dists = jnp.sum((anchor_in[None] - anchor_out[:, None]) ** 2, -1)
+        val, idx = jax.lax.top_k(-dists, k)
+        w = jax.nn.softmax(val / sigma, axis=1)
+    elif interpolation == 'inv':
+        dists = jnp.sum((anchor_in[None] - anchor_out[:, None]) ** 2, -1)
+        val, idx = jax.lax.top_k(-dists, k)
+        inv_val = 1.0 / (sigma * (-val) + 1e-6)
+        w = inv_val / inv_val.sum(axis=1, keepdims=True)
+    else:
+        raise ValueError(interpolation)
+    return idx, w
+
+
+def anchor_prop(x: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Propagate signals to new anchor directions with kNN interpolation
+    (ref: spconv/functional.py:554-564). x [b, p, a1, c] -> [b, p, a2, c]."""
+    return jnp.einsum('bpakc,ak->bpac', x[:, :, idx, :], w)

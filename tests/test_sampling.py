@@ -1,0 +1,161 @@
+"""Golden tests for core ops vs a pure-numpy reimplementation of the
+reference CUDA kernel semantics (SURVEY.md §7 stage 2)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from epn_pointcloud_tpu.ops import sampling
+
+
+# --- numpy oracles matching the reference CUDA kernels ----------------------
+
+def fps_oracle(xyz, m):
+    """grouping_cuda_kernel.cu:351-466 semantics."""
+    b, n, _ = xyz.shape
+    out = np.zeros((b, m), dtype=np.int32)
+    for bi in range(b):
+        mag = (xyz[bi] ** 2).sum(-1)
+        valid = mag > 1e-3
+        temp = np.full(n, np.inf)
+        old = 0
+        for j in range(1, m):
+            d = ((xyz[bi] - xyz[bi, old]) ** 2).sum(-1)
+            temp = np.minimum(temp, d)
+            cand = np.where(valid, temp, -np.inf)
+            old = int(np.argmax(cand))
+            out[bi, j] = old
+    return out
+
+
+def ball_query_oracle(query, support, radius, nsample):
+    """grouping_cuda_kernel.cu:67-113 semantics (with proper periodic fill)."""
+    b, m, _ = query.shape
+    n = support.shape[1]
+    out = np.zeros((b, m, nsample), dtype=np.int32)
+    for bi in range(b):
+        for j in range(m):
+            hits = []
+            for k in range(n):
+                if ((query[bi, j] - support[bi, k]) ** 2).sum() < radius ** 2:
+                    hits.append(k)
+                    if len(hits) == nsample:
+                        break
+            if hits:
+                for s in range(nsample):
+                    out[bi, j, s] = hits[s % len(hits)]
+    return out
+
+
+# --- tests -------------------------------------------------------------------
+
+def test_gather_points():
+    rng = np.random.RandomState(0)
+    feats = rng.randn(2, 10, 4, 3).astype(np.float32)
+    idx = rng.randint(0, 10, size=(2, 5)).astype(np.int32)
+    out = np.asarray(sampling.gather_points(jnp.asarray(feats), jnp.asarray(idx)))
+    for b in range(2):
+        np.testing.assert_allclose(out[b], feats[b, idx[b]])
+
+
+def test_gather_points_2d_idx():
+    rng = np.random.RandomState(1)
+    feats = rng.randn(2, 10, 3).astype(np.float32)
+    idx = rng.randint(0, 10, size=(2, 4, 6)).astype(np.int32)
+    out = np.asarray(sampling.gather_points(jnp.asarray(feats), jnp.asarray(idx)))
+    assert out.shape == (2, 4, 6, 3)
+    for b in range(2):
+        np.testing.assert_allclose(out[b], feats[b][idx[b]])
+
+
+def test_fps_matches_oracle():
+    rng = np.random.RandomState(2)
+    xyz = rng.randn(3, 64, 3).astype(np.float32)
+    idx = np.asarray(sampling.furthest_point_sampling(jnp.asarray(xyz), 16))
+    np.testing.assert_array_equal(idx, fps_oracle(xyz, 16))
+
+
+def test_fps_skips_shadow_points():
+    rng = np.random.RandomState(3)
+    xyz = rng.randn(1, 32, 3).astype(np.float32) + 2.0  # away from origin
+    xyz[0, 5] = 0.0  # shadow point at origin
+    xyz[0, 17] = 0.01
+    idx = np.asarray(sampling.furthest_point_sampling(jnp.asarray(xyz), 20))
+    assert 5 not in idx[0][1:] and 17 not in idx[0][1:]
+
+
+def test_fps_first_sample_is_zero():
+    rng = np.random.RandomState(4)
+    xyz = rng.randn(2, 32, 3).astype(np.float32)
+    idx = np.asarray(sampling.furthest_point_sampling(jnp.asarray(xyz), 8))
+    assert (idx[:, 0] == 0).all()
+
+
+def test_lazy_sample():
+    rng = np.random.RandomState(5)
+    xyz = rng.randn(2, 16, 3).astype(np.float32)
+    idx, sxyz = sampling.furthest_sample(jnp.asarray(xyz), 8, lazy_sample=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.tile(np.arange(8), (2, 1)))
+    np.testing.assert_allclose(np.asarray(sxyz), xyz[:, :8])
+
+
+def test_ball_query_matches_oracle():
+    rng = np.random.RandomState(6)
+    support = rng.rand(2, 50, 3).astype(np.float32)
+    query = support[:, ::5]
+    idx = np.asarray(sampling.ball_query(jnp.asarray(query), jnp.asarray(support), 0.3, 8))
+    np.testing.assert_array_equal(idx, ball_query_oracle(query, support, 0.3, 8))
+
+
+def test_ball_query_order_semantics():
+    """First hits in index order, not nearest hits."""
+    support = np.zeros((1, 6, 3), dtype=np.float32)
+    support[0, 0] = [0.25, 0, 0]
+    support[0, 1] = [0.05, 0, 0]   # nearer but later would not displace
+    support[0, 2] = [0.28, 0, 0]
+    support[0, 3] = [5, 5, 5]
+    support[0, 4] = [0.01, 0, 0]
+    support[0, 5] = [0.02, 0, 0]
+    query = np.zeros((1, 1, 3), dtype=np.float32)
+    idx = np.asarray(sampling.ball_query(jnp.asarray(query), jnp.asarray(support), 0.3, 3))
+    np.testing.assert_array_equal(idx[0, 0], [0, 1, 2])
+
+
+def test_ball_query_repeat_fill():
+    support = np.full((1, 5, 3), 10.0, dtype=np.float32)
+    support[0, 2] = [0.1, 0, 0]
+    support[0, 4] = [0.0, 0.1, 0]
+    query = np.zeros((1, 1, 3), dtype=np.float32)
+    idx = np.asarray(sampling.ball_query(jnp.asarray(query), jnp.asarray(support), 0.5, 5))
+    np.testing.assert_array_equal(idx[0, 0], [2, 4, 2, 4, 2])
+
+
+def test_ball_query_empty_neighborhood():
+    support = np.full((1, 5, 3), 10.0, dtype=np.float32)
+    query = np.zeros((1, 2, 3), dtype=np.float32)
+    idx = np.asarray(sampling.ball_query(jnp.asarray(query), jnp.asarray(support), 0.5, 4))
+    np.testing.assert_array_equal(idx, 0)
+
+
+def test_shadow_padding():
+    xyz = np.zeros((2, 4, 3), dtype=np.float32)
+    p = np.asarray(sampling.add_shadow_point(jnp.asarray(xyz)))
+    assert p.shape == (2, 5, 3) and (p[:, -1] == sampling.SHADOW_COORD).all()
+    feats = np.ones((2, 4, 6, 8), dtype=np.float32)
+    f = np.asarray(sampling.add_shadow_feature(jnp.asarray(feats)))
+    assert f.shape == (2, 5, 6, 8) and (f[:, -1] == 0).all()
+
+
+def test_inter_grouping_ball_shapes_and_localization():
+    rng = np.random.RandomState(7)
+    xyz = rng.rand(2, 32, 3).astype(np.float32)
+    gx, bidx, sidx, sxyz = sampling.inter_grouping_ball(
+        jnp.asarray(xyz), stride=2, radius=0.5, n_neighbor=8, lazy_sample=True)
+    assert gx.shape == (2, 16, 8, 3)
+    assert bidx.shape == (2, 16, 8)
+    assert sidx.shape == (2, 16)
+    assert sxyz.shape == (2, 16, 3)
+    # grouped coordinates are local (center-subtracted): real (non-shadow)
+    # neighbors lie within the search radius
+    gx = np.asarray(gx)
+    real = np.linalg.norm(gx, axis=-1) < 100
+    assert (np.linalg.norm(gx, axis=-1)[real] < 0.5 + 1e-5).all()
