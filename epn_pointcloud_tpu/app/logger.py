@@ -1,0 +1,92 @@
+"""Logger / Summary / Timer (rebuild of vgtk/vgtk/app/{logger,summary,timer}.py)."""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+
+
+class Logger:
+    """python-logging to stdout + optional file, '#ts# [Scope] msg' format
+    (ref: logger.py:11-38)."""
+
+    _counter = 0
+
+    def __init__(self, log_file=None, log_level=logging.DEBUG):
+        Logger._counter += 1
+        self.logger = logging.getLogger(f'epn_tpu_{Logger._counter}')
+        self.logger.setLevel(log_level)
+        self.logger.handlers.clear()
+        fmt = logging.Formatter('#%(asctime)s# %(message)s', '%y-%m-%d %H:%M:%S')
+        console = logging.StreamHandler(sys.stdout)
+        console.setFormatter(fmt)
+        self.logger.addHandler(console)
+        if log_file is not None:
+            fh = logging.FileHandler(log_file)
+            fh.setFormatter(fmt)
+            self.logger.addHandler(fh)
+        self.logger.propagate = False
+
+    def log(self, scope, msg):
+        self.logger.info(f'[{scope}] {msg}')
+
+    def warning(self, scope, msg):
+        self.logger.warning(f'[{scope}] {msg}')
+
+    def debug(self, scope, msg):
+        self.logger.debug(f'[{scope}] {msg}')
+
+    def error(self, scope, msg):
+        self.logger.error(f'[{scope}] {msg}')
+
+
+class Summary:
+    """EMA scalar channels, momentum 0.9 (ref: summary.py:3-28)."""
+
+    def __init__(self, momentum: float = 0.9):
+        self.items = []
+        self.running_stats = {}
+        self.counters = {}
+        self.momentum = momentum
+
+    def register(self, keys):
+        for k in keys:
+            self.items.append(k)
+            self.running_stats[k] = 0.0
+            self.counters[k] = 0
+
+    def update(self, stats):
+        for k, v in stats.items():
+            v = float(v)
+            if self.counters[k] == 0:
+                self.running_stats[k] = v
+            else:
+                self.running_stats[k] = (self.momentum * self.running_stats[k]
+                                         + (1 - self.momentum) * v)
+            self.counters[k] += 1
+
+    def get_item(self, k):
+        return self.running_stats[k]
+
+    def get(self):
+        return '\t'.join(f'{k}: {self.get_item(k):.4f}' for k in self.items)
+
+
+class Timer:
+    """Named wall-clock checkpoints (ref: timer.py:3-17)."""
+
+    def __init__(self):
+        self._time = time.time()
+        self._checkpoints = {}
+
+    def set_point(self, pid='default'):
+        self._checkpoints[pid] = time.time()
+
+    def get_point(self, pid='default'):
+        return time.time() - self._checkpoints[pid]
+
+    def reset_point(self, pid='default'):
+        dt = time.time() - self._checkpoints[pid]
+        self._checkpoints[pid] = time.time()
+        return dt

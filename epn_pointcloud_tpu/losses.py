@@ -1,0 +1,246 @@
+"""Loss functions and metrics (rebuild of vgtk/vgtk/loss.py, channels-last).
+
+Layout conventions (vs the reference's channels-first):
+  * classification logits  [b, k]
+  * anchor-attention wts   [b, a] (or [b, a, c] for multi-channel attention)
+  * rel-rotation features  y [b, na_tgt, na_src, nr]
+  * descriptors            [b, c]
+All functions are pure jnp and jit-safe; each returns (loss, aux_dict).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .ops.rotation import (acos_safe, angle_from_R, mean_angular_error,
+                           rotation_from_ortho6d, rotation_from_quaternion,
+                           so3_mean)
+
+
+# ---------------------------------------------------------------------------
+# Cross entropy (ref: loss.py:18-30)
+# ---------------------------------------------------------------------------
+
+def cross_entropy(pred: jnp.ndarray, label: jnp.ndarray):
+    """pred [b, k] (or [b, k, ...] torch-style class dim 1), integer labels.
+    Returns (loss, accuracy)."""
+    logp = jax.nn.log_softmax(pred, axis=1)
+    onehot = jax.nn.one_hot(label, pred.shape[1], axis=1, dtype=pred.dtype)
+    loss = -(onehot * logp).sum(axis=1).mean()
+    pred_label = jnp.argmax(pred, axis=1)
+    acc = (pred_label == label).astype(jnp.float32).mean()
+    return loss, acc
+
+
+def attention_cross_entropy(pred, label, wts, rlabel, loss_type: str = 'default',
+                            loss_margin: float = 1.0, iter_counter: int = 0,
+                            pretrain_step: int = 2000):
+    """Classification CE + margin-weighted anchor-attention CE
+    (ref: loss.py:32-75).
+
+    wts: [b, a] anchor logits (or [b, a, c]); rlabel: [b] anchor labels
+    (or [b, c]). Returns (loss, dict(cls_loss, r_loss, acc, racc)).
+    """
+    cls_loss, acc = cross_entropy(pred, label.reshape(-1))
+
+    if wts.ndim == 3:
+        # multi-channel attention: class dim is the anchor axis (dim 1)
+        c = wts.shape[2]
+        rlabel2 = jnp.broadcast_to(label.reshape(-1, 1), (wts.shape[0], c)) \
+            if rlabel.ndim == 1 else rlabel[:, :c]
+        r_loss, racc = cross_entropy(wts, rlabel2)
+    else:
+        r_loss, racc = cross_entropy(wts, rlabel.reshape(-1))
+
+    m = loss_margin
+    if loss_type == 'schedule':
+        w = jnp.minimum(iter_counter / pretrain_step, 1.0)
+        loss = w * cls_loss + (m + 1.0 - w) * r_loss
+    elif loss_type == 'default':
+        loss = cls_loss + m * r_loss
+    elif loss_type == 'no_reg':
+        loss = cls_loss
+    else:
+        raise NotImplementedError(f'{loss_type} is not implemented')
+    return loss, {'cls_loss': cls_loss, 'r_loss': r_loss, 'acc': acc,
+                  'racc': racc}
+
+
+# ---------------------------------------------------------------------------
+# Multi-task rotation detection (ref: loss.py:94-210)
+# ---------------------------------------------------------------------------
+
+def batched_select_anchor(labels: jnp.ndarray, y: jnp.ndarray,
+                          rotation_mapping) -> jnp.ndarray:
+    """Select per-source-anchor target-anchor features and map to rotations
+    (ref: loss.py:77-92).
+
+    labels [b, na] (target-anchor index per source anchor);
+    y [b, na_tgt, na_src, nr] -> [b, na, 3, 3]
+    """
+    b, na = labels.shape
+    nr = y.shape[-1]
+    y_sel = jnp.take_along_axis(y, labels[:, None, :, None], axis=1)  # [b,1,na,nr]
+    y_sel = y_sel[:, 0].reshape(b * na, nr)
+    return rotation_mapping(y_sel).reshape(b, na, 3, 3)
+
+
+def multi_task_detection_loss(anchors, wts, label, y, gt_R, gt_T=None,
+                              nr: int = 4, w: float = 10.0,
+                              threshold: float = 1.0):
+    """Anchor-pair classification CE + weighted L2 rotation regression
+    (ref: loss.py:94-210). Three settings:
+
+      * na == 1: direct regression.  wts [b, 1]; y [b, nr].
+      * alignment (gt_T given, label [b, na]): wts [b, na_tgt, na_src];
+        y [b, na_tgt, na_src, nr]; gt_R [b, na, 3, 3].
+      * canonical: label [b]; wts [b, na]; y [b, na, nr]; gt_R [b, na, 3, 3].
+
+    Returns (loss, dict(cls_loss, l2_loss(w-scaled), r_acc, angular_error,
+    pred_R)).
+    """
+    assert nr in (4, 6)
+    b = wts.shape[0]
+    na = wts.shape[1]
+    rotation_mapping = rotation_from_quaternion if nr == 4 else rotation_from_ortho6d
+
+    if gt_T is not None:
+        true_R = gt_T
+    else:
+        # ref: loss.py:129 uses gt_R[:, 29] — index of the identity anchor;
+        # ours is wherever trace(anchor) is maximal (exact identity).
+        id_idx = jnp.argmax(jnp.trace(anchors, axis1=-2, axis2=-1))
+        id_idx = jnp.minimum(id_idx, gt_R.shape[1] - 1)
+        true_R = jnp.take_along_axis(
+            gt_R, id_idx[None, None, None, None].astype(jnp.int32)
+            .repeat(b, 0), axis=1)[:, 0]
+
+    if na == 1:
+        target_R = true_R
+        cls_loss = jnp.zeros(())
+        r_acc = jnp.ones(())
+        pred_R = rotation_mapping(y.reshape(b, nr))
+        l2_loss = jnp.mean((pred_R - target_R) ** 2)
+        loss = w * l2_loss
+    elif gt_T is not None and label.ndim == 2:
+        # alignment setting
+        wts = wts.reshape(b, na, na)
+        cls_loss, r_acc = cross_entropy(wts, label)  # class dim = na_tgt
+
+        confidence = wts.max(axis=1)                  # [b, na_src]
+        preds = wts.argmax(axis=1)                    # [b, na_src]
+
+        select_RAnchor = batched_select_anchor(label, y, rotation_mapping)
+        pred_RAnchor = batched_select_anchor(preds, y, rotation_mapping)
+
+        confidence = confidence / (1e-6 + confidence.sum(axis=1, keepdims=True))
+
+        anchors_src = jnp.broadcast_to(anchors[None], (b, na, 3, 3))
+        pred_Rs = jnp.einsum('baij,bajk,balk->bail',
+                             anchors_src, pred_RAnchor, anchors[preds])
+        pred_R = so3_mean(pred_Rs, confidence)
+        l2_loss = jnp.mean((gt_R - select_RAnchor) ** 2)
+        loss = cls_loss + w * l2_loss
+    else:
+        # canonical regression setting
+        wts = wts.reshape(b, -1)
+        cls_loss, r_acc = cross_entropy(wts, label.reshape(-1))
+        pred_RAnchor = rotation_mapping(y.reshape(-1, nr)).reshape(b, -1, 3, 3)
+
+        gt_bias = angle_from_R(gt_R)                       # [b, na]
+        mask = (gt_bias < threshold).astype(y.dtype)[:, :, None, None]
+        l2_loss = jnp.sum((gt_R * mask - pred_RAnchor * mask) ** 2)
+        loss = cls_loss + w * l2_loss
+
+        preds = jnp.argmax(wts, axis=1)                    # [b]
+        pred_ra = jnp.take_along_axis(
+            pred_RAnchor, preds[:, None, None, None], axis=1)[:, 0]
+        pred_R = jnp.einsum('bij,bjk->bik', anchors[preds], pred_ra)
+
+    ang_err = mean_angular_error(pred_R, true_R)
+    return loss, {'cls_loss': cls_loss, 'l2_loss': w * l2_loss, 'r_acc': r_acc,
+                  'angular_error': ang_err, 'pred_R': pred_R}
+
+
+# ---------------------------------------------------------------------------
+# Triplet batch loss (ref: loss.py:220-445)
+# ---------------------------------------------------------------------------
+
+def pairwise_distance_matrix(x, y, eps: float = 1e-6):
+    """(ref: loss.py:220-226)"""
+    x2 = jnp.sum(x * x, axis=1, keepdims=True)
+    y2 = jnp.sum(y * y, axis=1, keepdims=True)
+    dist2 = x2 + y2.T - 2.0 * x @ y.T
+    return jnp.sqrt(jnp.clip(dist2, min=eps))
+
+
+def batch_hard_negative_mining(dist_mat):
+    """Min over non-diagonal entries per row (ref: loss.py:229-235)."""
+    n = dist_mat.shape[0]
+    masked = dist_mat + jnp.eye(n, dtype=dist_mat.dtype) * 1e10
+    return masked.min(axis=1)
+
+
+def _triplet_diff(furthest_positive, closest_negative, loss_mode, margin):
+    diff = furthest_positive - closest_negative
+    if loss_mode == 'hard':
+        return jax.nn.relu(diff + margin)
+    if loss_mode == 'soft':
+        return jax.nn.softplus(diff * margin) / margin  # torch softplus(beta=m)
+    if loss_mode == 'contrastive':
+        return furthest_positive + jax.nn.relu(margin - closest_negative)
+    return diff
+
+
+def triplet_batch_loss(src, tgt, loss_mode: str = 'soft', margin: float = 1.0):
+    """In-batch hard-negative triplet loss on L2 distances
+    (ref: loss.py:280-318). src, tgt [b, c] descriptors; positives on the
+    diagonal. Returns (loss, dict(accuracy, fpos, cneg))."""
+    all_dist = pairwise_distance_matrix(src, tgt)
+    furthest_positive = jnp.diagonal(all_dist)
+    closest_negative = batch_hard_negative_mining(all_dist)
+    diff = _triplet_diff(furthest_positive, closest_negative, loss_mode, margin)
+    match = jnp.argmin(all_dist, axis=1) == jnp.arange(all_dist.shape[0])
+    accuracy = match.astype(jnp.float32).mean()
+    return diff.mean(), {'accuracy': accuracy,
+                         'fpos': furthest_positive.mean(),
+                         'cneg': closest_negative.mean(),
+                         'all_dist': all_dist}
+
+
+def so3_interpolate(feature, T, anchors, knn: int = 3, sigma: float = 1e-1):
+    """Rotate an equivariant [b, a, c] feature by T via anchor-space kNN
+    interpolation (ref: TripletBatchLoss._interpolate, loss.py:400-438;
+    fixed to be batch-correct — the reference flattens indices across the
+    batch, which only works for b == 1)."""
+    R = T[:, :3, :3]
+    # b, n(anchors), 3, 3 : R^T @ anchor_n
+    r_anchors = jnp.einsum('bij,njk->bnik', jnp.swapaxes(R, 1, 2), anchors)
+    # traces vs anchors: [b, n, m]
+    diff = jnp.einsum('bnij,mkj->bnmik', r_anchors, anchors)
+    traces = jnp.trace(diff, axis1=-2, axis2=-1)
+    vals, idx = jax.lax.top_k(traces, knn)           # [b, na, k]
+    influences = jax.nn.softmax(vals / sigma, axis=2)[..., None]  # [b,na,k,1]
+    gathered = jnp.take_along_axis(
+        feature[:, None, :, :], idx[..., None], axis=2)  # [b, na, k, c]
+    return (gathered * influences).sum(axis=2)           # [b, na, c]
+
+
+def triplet_equivariance_loss(src, tgt, equi_src, equi_tgt, T, anchors,
+                              loss_mode: str = 'soft', margin: float = 1.0,
+                              alpha: float = 0.0, sigma: float = 2e-1):
+    """Invariance triplet + equivariance triplet on SO(3)-interpolated
+    features (ref: loss.py:320-358). equi_src/tgt: [b, a, c]."""
+    inv_loss, inv_aux = triplet_batch_loss(src, tgt, loss_mode, margin)
+    b = src.shape[0]
+    equi_tgt_r = so3_interpolate(equi_tgt, T, anchors, sigma=sigma).reshape(b, -1)
+    equi_src_f = equi_src.reshape(b, -1)
+    equi_loss, equi_aux = triplet_batch_loss(equi_src_f, equi_tgt_r,
+                                             loss_mode, margin)
+    total = inv_loss + alpha * equi_loss
+    return total, {'inv_loss': inv_loss, 'equi_loss': equi_loss,
+                   'inv': inv_aux, 'equi': equi_aux}

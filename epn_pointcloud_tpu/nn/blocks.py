@@ -1,0 +1,167 @@
+"""Conv blocks: conv + norm + activation + dropout, separable blocks with
+skip connections, and the block sequencer with inter-index caching.
+
+Rebuild of SPConvNets/utils/base_so3conv.py:32-215.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from ..ops import sampling
+from ..ops.so3conv import SphericalPointCloud
+from .layers import (BasicSO3Conv, Dense1x1, InstanceNorm, InterSO3Conv,
+                     IntraSO3Conv, KernelPropagation, make_norm)
+
+
+def get_activation(name: Optional[str]):
+    if name is None:
+        return None
+    return getattr(jax.nn, name)
+
+
+class IntraSO3ConvBlock(fnn.Module):
+    """intra conv + InstanceNorm + activation + dropout
+    (ref: base_so3conv.py:32-62; the reference always uses InstanceNorm here)."""
+    dim_in: int
+    dim_out: int
+    norm: Optional[str] = None
+    activation: str = 'relu'
+    dropout_rate: float = 0.0
+
+    @fnn.compact
+    def __call__(self, x: SphericalPointCloud, train: bool = True):
+        x = IntraSO3Conv(self.dim_in, self.dim_out)(x)
+        feat = InstanceNorm()(x.feats, train=train)
+        act = get_activation(self.activation)
+        if act is not None:
+            feat = act(feat)
+        if self.dropout_rate > 0:
+            feat = fnn.Dropout(self.dropout_rate, deterministic=not train)(feat)
+        return SphericalPointCloud(x.xyz, feat, x.anchors)
+
+
+class InterSO3ConvBlock(fnn.Module):
+    """inter conv + norm + activation + dropout (ref: base_so3conv.py:88-126)."""
+    dim_in: int
+    dim_out: int
+    kernel_size: int
+    stride: int
+    radius: float
+    sigma: float
+    n_neighbor: int
+    multiplier: int = 2          # accepted for config parity; unused (ref too)
+    kanchor: int = 60
+    lazy_sample: Optional[bool] = None
+    norm: Optional[str] = None
+    activation: str = 'relu'
+    pooling: str = 'none'
+    dropout_rate: float = 0.0
+
+    @fnn.compact
+    def __call__(self, x: SphericalPointCloud, inter_idx=None, inter_w=None,
+                 train: bool = True):
+        lazy = True if self.lazy_sample is None else self.lazy_sample
+        pooling = None if self.pooling in ('none', None) else self.pooling
+        inter_idx, inter_w, sample_idx, x = InterSO3Conv(
+            self.dim_in, self.dim_out, self.kernel_size, self.stride,
+            self.radius, self.sigma, self.n_neighbor, lazy_sample=lazy,
+            pooling=pooling, kanchor=self.kanchor)(x, inter_idx, inter_w)
+        feat = make_norm(self.norm)()(x.feats, train=train)
+        act = get_activation(self.activation)
+        if act is not None:
+            feat = act(feat)
+        if self.dropout_rate > 0:
+            feat = fnn.Dropout(self.dropout_rate, deterministic=not train)(feat)
+        return inter_idx, inter_w, sample_idx, SphericalPointCloud(
+            x.xyz, feat, x.anchors)
+
+
+class SeparableSO3ConvBlock(fnn.Module):
+    """inter -> intra with a 1x1-conv skip connection (gathered through
+    sample_idx when strided), norm + relu, residual add
+    (ref: base_so3conv.py:168-212). Used when kanchor == 60."""
+    args: Dict[str, Any]
+
+    @fnn.compact
+    def __call__(self, x: SphericalPointCloud, inter_idx=None, inter_w=None,
+                 train: bool = True):
+        p = self.args
+        dim_in, dim_out = p['dim_in'], p['dim_out']
+        use_intra = p['kanchor'] > 1
+
+        skip_feature = x.feats
+        inter_idx, inter_w, sample_idx, x = InterSO3ConvBlock(
+            dim_in=dim_in, dim_out=dim_out, kernel_size=p['kernel_size'],
+            stride=p['stride'], radius=p['radius'], sigma=p['sigma'],
+            n_neighbor=p['n_neighbor'], multiplier=p.get('multiplier', 2),
+            kanchor=p['kanchor'], lazy_sample=p.get('lazy_sample'),
+            norm=p.get('norm'), activation=p['activation'],
+            pooling=p.get('pooling') or 'none',
+            dropout_rate=p['dropout_rate'])(x, inter_idx, inter_w, train=train)
+
+        if use_intra:
+            x = IntraSO3ConvBlock(
+                dim_in=dim_out, dim_out=dim_out,
+                dropout_rate=p['dropout_rate'],
+                activation=p['activation'])(x, train=train)
+        if p['stride'] > 1:
+            skip_feature = sampling.gather_points(skip_feature, sample_idx)
+        skip_feature = Dense1x1(dim_out)(skip_feature)
+        skip_feature = make_norm(p.get('norm'))()(skip_feature, train=train)
+        act = get_activation(p['activation'])
+        skip_feature = act(skip_feature)
+        return inter_idx, inter_w, sample_idx, SphericalPointCloud(
+            x.xyz, x.feats + skip_feature, x.anchors)
+
+
+class BasicSO3ConvBlock(fnn.Module):
+    """Sequencer over inter/intra/separable layers with inter_idx/inter_w
+    caching across consecutive stride-1 layers; the cache is reset after any
+    stride > 1 layer (ref: base_so3conv.py:129-166)."""
+    params: Sequence[Dict[str, Any]]
+
+    @fnn.compact
+    def __call__(self, x: SphericalPointCloud, train: bool = True):
+        inter_idx, inter_w = None, None
+        for i, param in enumerate(self.params):
+            t = param['type']
+            if t in ('inter', 'inter_block'):
+                inter_idx, inter_w, _, x = InterSO3ConvBlock(
+                    **param['args'])(x, inter_idx, inter_w, train=train)
+                if param['args']['stride'] > 1:
+                    inter_idx, inter_w = None, None
+            elif t == 'separable_block':
+                inter_idx, inter_w, _, x = SeparableSO3ConvBlock(
+                    param['args'])(x, inter_idx, inter_w, train=train)
+                if param['args']['stride'] > 1:
+                    inter_idx, inter_w = None, None
+            elif t == 'intra_block':
+                x = IntraSO3ConvBlock(**param['args'])(x, train=train)
+            else:
+                raise ValueError(f'No such type of SO3Conv {t}')
+        return x
+
+
+class PropagationBlock(fnn.Module):
+    """KernelPropagation + norm + activation + dropout
+    (ref: base_so3conv.py:65-85)."""
+    params: Dict[str, Any]
+    norm: Optional[str] = None
+    activation: str = 'relu'
+    dropout_rate: float = 0.0
+
+    @fnn.compact
+    def __call__(self, frag, clouds, train: bool = True):
+        x = KernelPropagation(**self.params)(frag, clouds)
+        feat = InstanceNorm()(x.feats, train=train)
+        act = get_activation(self.activation)
+        if act is not None:
+            feat = act(feat)
+        if self.dropout_rate > 0:
+            feat = fnn.Dropout(self.dropout_rate, deterministic=not train)(feat)
+        return SphericalPointCloud(x.xyz, feat, x.anchors)

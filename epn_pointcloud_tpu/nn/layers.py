@@ -1,0 +1,279 @@
+"""Core equivariant layers (flax.linen), channels-last [b, p, a, c].
+
+Rebuild of vgtk/vgtk/so3conv/modules.py. Parameter initializations replicate
+the PyTorch defaults the reference relies on (xavier-normal gain sqrt(2) for
+SO3 conv weights; Conv2d/Linear kaiming-uniform(a=sqrt(5)) + uniform bias).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as fnn
+
+from ..ops import icosahedron, kernel_points, sampling, so3conv
+from ..ops.so3conv import SphericalPointCloud
+
+KERNEL_CONDENSE_RATIO = kernel_points.KERNEL_CONDENSE_RATIO  # 0.7
+
+
+@functools.lru_cache(maxsize=None)
+def _anchors_const(kanchor: int) -> np.ndarray:
+    return icosahedron.get_anchors(kanchor)
+
+
+@functools.lru_cache(maxsize=None)
+def _intra_idx_const() -> np.ndarray:
+    return icosahedron.get_intra_idx()
+
+
+@functools.lru_cache(maxsize=None)
+def _kernels_const(radius: float, kernel_size: int) -> np.ndarray:
+    return kernel_points.get_spherical_kernel_points(
+        KERNEL_CONDENSE_RATIO * radius, kernel_size)
+
+
+def so3conv_weight_init(dim_in: int, dim_out: int, n_kernel: int):
+    """xavier_normal_(gain=calculate_gain('relu')) on a [c_out, c_in, k]
+    tensor, torch fan semantics: fan_in = c_in*k, fan_out = c_out*k
+    (ref: so3conv/modules.py:35-39)."""
+    gain = float(np.sqrt(2.0))
+    std = gain * float(np.sqrt(2.0 / (dim_in * n_kernel + dim_out * n_kernel)))
+
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+    return init
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """kaiming_uniform_(a=sqrt(5)) — the torch nn.Linear/ConvNd default.
+    shape is flax convention [fan_in, fan_out]."""
+    fan_in = shape[0]
+    bound = float(1.0 / np.sqrt(fan_in))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_bias_init(fan_in: int):
+    bound = float(1.0 / np.sqrt(fan_in)) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class Dense1x1(fnn.Module):
+    """Channel-wise dense == torch Conv2d(c_in, c_out, 1) / Conv1d(.., 1),
+    with matching default init."""
+    features: int
+    use_bias: bool = True
+
+    @fnn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        k = self.param('kernel', torch_linear_kernel_init, (fan_in, self.features))
+        y = jnp.einsum('...c,cd->...d', x, k)
+        if self.use_bias:
+            b = self.param('bias', torch_linear_bias_init(fan_in), (self.features,))
+            y = y + b
+        return y
+
+
+class InstanceNorm(fnn.Module):
+    """torch nn.InstanceNorm2d(c, affine=False) over [b, c, p, a]: normalize
+    each (b, c) slice over the spatial axes. Ours: [b, p, a, c] -> reduce over
+    (1, 2). eps matches torch default."""
+    epsilon: float = 1e-5
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):  # train ignored (no stats)
+        mean = x.mean(axis=(1, 2), keepdims=True)
+        var = x.var(axis=(1, 2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+
+
+class InstanceNorm1d(fnn.Module):
+    """InstanceNorm over [b, a, c] (single spatial axis)."""
+    epsilon: float = 1e-5
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):  # train ignored (no stats)
+        mean = x.mean(axis=1, keepdims=True)
+        var = x.var(axis=1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+
+
+class BatchNorm(fnn.Module):
+    """torch nn.BatchNorm2d/1d equivalent for channels-last input: normalize
+    over all non-channel axes; affine; running stats with torch momentum 0.1.
+
+    Implemented manually because torch updates running_var with the UNBIASED
+    batch variance (n/(n-1)) while normalizing with the biased one — flax's
+    BatchNorm uses biased for both, which breaks eval-mode parity."""
+    epsilon: float = 1e-5
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):
+        c = x.shape[-1]
+        scale = self.param('scale', fnn.initializers.ones, (c,))
+        bias = self.param('bias', fnn.initializers.zeros, (c,))
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        axes = tuple(range(x.ndim - 1))
+        if train:
+            mean = x.mean(axis=axes)
+            var = x.var(axis=axes)  # biased, used for normalization
+            n = x.size // c
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+def make_norm(norm: Optional[str]):
+    """Resolve a reference norm name to a module factory. None -> InstanceNorm
+    (ref: base_so3conv.py:107)."""
+    if norm is None or norm == 'InstanceNorm2d':
+        return InstanceNorm
+    if norm in ('BatchNorm2d', 'BatchNorm1d'):
+        return BatchNorm
+    raise ValueError(f'unsupported norm {norm}')
+
+
+class BasicSO3Conv(fnn.Module):
+    """The learned SO(3) conv weight: a single matmul over (kernel, channel)
+    with no bias (ref: so3conv/modules.py:21-55).
+
+    [b, p, a, k, c_in] -> [b, p, a, c_out]
+    """
+    dim_in: int
+    dim_out: int
+    kernel_size: int
+    debug: bool = False
+
+    @fnn.compact
+    def __call__(self, x):
+        if self.debug:
+            W = jnp.ones((self.kernel_size, self.dim_in, self.dim_out), x.dtype)
+        else:
+            W = self.param('W',
+                           so3conv_weight_init(self.dim_in, self.dim_out,
+                                               self.kernel_size),
+                           (self.kernel_size, self.dim_in, self.dim_out))
+        return jnp.einsum('bpakc,kcd->bpad', x, W)
+
+
+class IntraSO3Conv(fnn.Module):
+    """Rotation-group conv: gather along the anchor axis with the 60x12 group
+    adjacency, then BasicSO3Conv (ref: so3conv/modules.py:177-200).
+    Only valid for kanchor == 60."""
+    dim_in: int
+    dim_out: int
+
+    @fnn.compact
+    def __call__(self, x: SphericalPointCloud) -> SphericalPointCloud:
+        intra_idx = jnp.asarray(_intra_idx_const())
+        feats = so3conv.intra_so3conv_grouping(intra_idx, x.feats)
+        feats = BasicSO3Conv(self.dim_in, self.dim_out,
+                             int(_intra_idx_const().shape[1]))(feats)
+        anchors = jnp.asarray(_anchors_const(60))
+        return SphericalPointCloud(x.xyz, feats, anchors)
+
+
+class InterSO3Conv(fnn.Module):
+    """Spatial SO(3)-anchor conv: ball grouping + anchor-rotated kernel
+    weights + BasicSO3Conv (ref: so3conv/modules.py:125-174)."""
+    dim_in: int
+    dim_out: int
+    kernel_size: int
+    stride: int
+    radius: float
+    sigma: float
+    n_neighbor: int
+    lazy_sample: bool = True
+    pooling: Optional[str] = None
+    kanchor: int = 60
+
+    @fnn.compact
+    def __call__(self, x: SphericalPointCloud, inter_idx=None, inter_w=None):
+        anchors = jnp.asarray(_anchors_const(self.kanchor))
+        kernels = jnp.asarray(_kernels_const(self.radius, self.kernel_size))
+        n_kernel = kernels.shape[0]
+        inter_idx, inter_w, xyz, feats, sample_idx = so3conv.inter_so3conv_grouping(
+            x.xyz, x.feats, self.stride, self.n_neighbor, anchors, kernels,
+            self.radius, self.sigma, inter_idx, inter_w,
+            self.lazy_sample, pooling=self.pooling)
+        feats = BasicSO3Conv(self.dim_in, self.dim_out, int(n_kernel))(feats)
+        return inter_idx, inter_w, sample_idx, SphericalPointCloud(xyz, feats, anchors)
+
+
+class PointnetSO3Conv(fnn.Module):
+    """Equivariant PointNet head: concat per-anchor rotated coords, 1x1 conv,
+    max-pool over points (ref: so3conv/modules.py:203-235).
+
+    SphericalPointCloud(xyz [b,p,3], feats [b,p,a,c]) -> [b, a, c_out]
+    """
+    dim_in: int   # feature channels BEFORE the +3 coords
+    dim_out: int
+    kanchor: int = 60
+
+    @fnn.compact
+    def __call__(self, x: SphericalPointCloud):
+        xyz, feats = x.xyz, x.feats
+        na = feats.shape[2]
+        if na == 1:
+            xyz_c = xyz - xyz.mean(axis=1, keepdims=True)
+            feats = jnp.concatenate([feats, xyz_c[:, :, None, :]], axis=-1)
+        else:
+            anchors = jnp.asarray(_anchors_const(self.kanchor))
+            xyzr = so3conv.pointnet_so3_coords(xyz, anchors)  # [b,p,a,3]
+            feats = jnp.concatenate([feats, xyzr], axis=-1)
+        feats = Dense1x1(self.dim_out)(feats)       # embed (Conv2d 1x1)
+        return feats.max(axis=1)                    # max over points -> [b,a,c]
+
+
+class KernelPropagation(fnn.Module):
+    """Fragment -> anchor-feature bootstrapping via density-weighted anchor
+    occupancy + BasicSO3Conv (ref: so3conv/modules.py:57-119)."""
+    dim_in: int
+    dim_out: int
+    n_center: int
+    kernel_size: int
+    radius: float
+    sigma: float
+    kanchor: int = 60
+
+    @fnn.compact
+    def __call__(self, frag, clouds):
+        """frag [m, 3]; clouds [b, p, 3] -> SphericalPointCloud over centers."""
+        anchors_np = _anchors_const(self.kanchor)
+        kernels_np = _kernels_const(self.radius, self.kernel_size)
+        # pre-rotated kernels [ks, na, 3] (ref: modules.py:68)
+        rk = np.transpose(anchors_np @ kernels_np.T, (2, 0, 1))
+        anchors = jnp.asarray(anchors_np)
+        kernels = jnp.asarray(rk)
+
+        if clouds.shape[1] == self.n_center:
+            centers = clouds
+        else:
+            _, centers = sampling.furthest_sample(clouds, self.n_center, False)
+
+        wts, cnt = so3conv.initial_anchor_query(
+            frag, centers, kernels, self.radius, self.sigma)
+        wts = wts / (cnt + 1.0)                       # [b, nc, a, ks]
+        feats = BasicSO3Conv(self.dim_in, self.dim_out,
+                             int(kernels_np.shape[0]))(wts[..., None])
+        return SphericalPointCloud(centers, feats, anchors)
