@@ -1,0 +1,70 @@
+"""Benchmark: flagship-model inference throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Workload: BASELINE.json configs[1] — ModelNet40 classification, full
+60-anchor icosahedral group, 1024-point clouds, batch 32, single chip.
+vs_baseline is measured against the driver target of 10,000 clouds/sec/chip
+(the reference publishes no throughput numbers; BASELINE.md).
+
+Extra per-config numbers go to stderr; the JSON contract line is stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+TARGET_CLOUDS_PER_SEC = 10_000.0
+
+
+def bench_forward(batch=32, input_num=1024, kanchor=60, iters=20, warmup=3):
+    import jax
+    import jax.numpy as jnp
+    from epn_pointcloud_tpu import models
+    from epn_pointcloud_tpu.app.config import default_opt
+
+    opt = default_opt(**{'model.model': 'cls_so3net_pn',
+                         'model.input_num': input_num,
+                         'model.kanchor': kanchor,
+                         'model.flag': 'attention'})
+    model = models.build_model_from(opt)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, input_num, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    @jax.jit
+    def fwd(x):
+        logits, _ = model.apply(variables, x, train=False)
+        return logits
+
+    # compile + warmup
+    for _ in range(warmup):
+        fwd(x).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(x)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt, dt
+
+
+def main():
+    clouds_per_sec, step_time = bench_forward()
+    print(f'[bench] step_time={step_time * 1e3:.2f} ms  '
+          f'throughput={clouds_per_sec:.1f} clouds/s', file=sys.stderr)
+    print(json.dumps({
+        'metric': 'modelnet40_cls_60anchor_b32_1024pt_inference_throughput',
+        'value': round(clouds_per_sec, 2),
+        'unit': 'clouds/sec/chip',
+        'vs_baseline': round(clouds_per_sec / TARGET_CLOUDS_PER_SEC, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

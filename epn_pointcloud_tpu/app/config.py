@@ -114,7 +114,7 @@ def parse_args(argv=None):
 def default_opt(**overrides):
     """Programmatic opt with the reference defaults; nested keys via
     'model.kanchor' style overrides. Useful for tests/benchmarks."""
-    argv = ['-d', overrides.pop('dataset_path', '/tmp/data')]
+    argv = ['experiment', '-d', overrides.pop('dataset_path', '/tmp/data')]
     opt = parse_args(argv)
     for key, value in overrides.items():
         obj = opt

@@ -62,6 +62,86 @@ def make_modelnet_tree(root: str, n_cats: int = 4, n_train: int = 8,
     return root
 
 
+def make_3dmatch_tree(root: str, scene: str = 'synth-scene', n_frags: int = 3,
+                      n_points: int = 4000, n_kpts: int = 32, seed: int = 0):
+    """Synthetic 3DMatch-style data with the reference's on-disk contracts:
+
+    eval:  <root>/<scene>/cloud_bin_N.ply, 01_Keypoints/cloud_bin_NKeypoints.txt,
+           gt.log
+    train: <root>/fused_fragments/<scene>/seq-01/cloud_bin_N.ply (+pose) and
+           <root>/kpts/<scene>/seq-01/cloud_bin_A-cloud_bin_B.npy
+
+    Fragments are overlapping views of one 'room' cloud under rigid motions,
+    so mutual-NN matching has real structure.
+    """
+    from ..ops.ply import save_ply
+    from ..ops.rotation import rand_rotation_matrix
+    rng = np.random.RandomState(seed)
+
+    room = rng.rand(n_points * 2, 3) * np.array([3.0, 3.0, 2.0])
+    scene_dir = os.path.join(root, scene)
+    kp_dir = os.path.join(scene_dir, '01_Keypoints')
+    os.makedirs(kp_dir, exist_ok=True)
+
+    frag_dir = os.path.join(root, 'fused_fragments', scene, 'seq-01')
+    kpt_dir = os.path.join(root, 'kpts', scene, 'seq-01')
+    os.makedirs(frag_dir, exist_ok=True)
+    os.makedirs(kpt_dir, exist_ok=True)
+
+    # every fragment sees a common core (for cross-fragment keypoint
+    # correspondences) plus its own random extras
+    core = rng.choice(len(room), n_points // 2, replace=False)
+    kpt_world = rng.choice(core, n_kpts, replace=False)
+
+    frags, poses = [], []
+    for i in range(n_frags):
+        extras = rng.choice(np.setdiff1d(np.arange(len(room)), core),
+                            n_points - len(core), replace=False)
+        sel = np.concatenate([core, extras])
+        rng.shuffle(sel)
+        frag_world = room[sel] + 0.001 * rng.randn(n_points, 3)
+        R = rand_rotation_matrix(rng=rng)
+        t = rng.randn(3) * 0.1
+        # camera frame: x_cam = R (x_world - t); pose maps cam -> world
+        frag_cam = (frag_world - t) @ R.T
+        pose = np.eye(4)
+        pose[:3, :3] = R.T
+        pose[:3, 3] = t
+        frags.append((frag_cam.astype(np.float32), sel))
+        poses.append(pose)
+
+        save_ply(os.path.join(scene_dir, f'cloud_bin_{i}.ply'), frag_cam)
+        save_ply(os.path.join(frag_dir, f'cloud_bin_{i}.ply'), frag_cam)
+        np.save(os.path.join(frag_dir, f'cloud_bin_{i}.pose.npy'), pose)
+        # keypoints = the same world points in every fragment
+        kpts = np.array([int(np.where(sel == w)[0][0]) for w in kpt_world])
+        np.savetxt(os.path.join(kp_dir, f'cloud_bin_{i}Keypoints.txt'),
+                   kpts, fmt='%d')
+
+    # gt.log + training keypoint pairs for consecutive fragments
+    lines = []
+    for i in range(n_frags - 1):
+        j = i + 1
+        # transform mapping frag_j cam coords into frag_i cam coords
+        Ti = poses[i]
+        Tj = poses[j]
+        T = np.linalg.inv(Ti) @ Tj
+        lines.append(f'{i}\t{j}\t{n_frags}')
+        for r in range(4):
+            lines.append('\t'.join(f'{v:.8f}' for v in T[r]))
+
+        # correspondence pairs: same room point seen in both fragments
+        sel_i, sel_j = frags[i][1], frags[j][1]
+        common, ii, jj = np.intersect1d(sel_i, sel_j, return_indices=True)
+        take = rng.choice(len(common), min(200, len(common)), replace=False)
+        pairs = np.stack([ii[take], jj[take]], axis=1).astype(np.int64)
+        np.save(os.path.join(kpt_dir, f'cloud_bin_{i}-cloud_bin_{j}.npy'),
+                pairs)
+    with open(os.path.join(scene_dir, 'gt.log'), 'w') as f:
+        f.write('\n'.join(lines) + '\n')
+    return scene_dir
+
+
 def random_clouds(rng: np.random.RandomState, batch: int, n_points: int):
     """Uniform random clouds in the unit ball (benchmark input)."""
     pc = rng.randn(batch, n_points, 3)

@@ -178,24 +178,43 @@ class BasicSO3Conv(fnn.Module):
 
 class IntraSO3Conv(fnn.Module):
     """Rotation-group conv: gather along the anchor axis with the 60x12 group
-    adjacency, then BasicSO3Conv (ref: so3conv/modules.py:177-200).
-    Only valid for kanchor == 60."""
+    adjacency, then the learned conv matmul (ref: so3conv/modules.py:177-200).
+    Only valid for kanchor == 60.
+
+    Computed as a sum over the 12 stencil slots — each trace_idx column is a
+    permutation of the 60 anchors (right multiplication by a fixed group
+    element), so out = sum_k (f o perm_k) @ W_k. This never materializes the
+    [b, p, a, 12, c] gather of the reference formulation; same math."""
     dim_in: int
     dim_out: int
 
     @fnn.compact
     def __call__(self, x: SphericalPointCloud) -> SphericalPointCloud:
-        intra_idx = jnp.asarray(_intra_idx_const())
-        feats = so3conv.intra_so3conv_grouping(intra_idx, x.feats)
-        feats = BasicSO3Conv(self.dim_in, self.dim_out,
-                             int(_intra_idx_const().shape[1]))(feats)
+        ti = _intra_idx_const()                       # [60, 12] numpy
+        n_kernel = int(ti.shape[1])
+        W = self.param('W', so3conv_weight_init(self.dim_in, self.dim_out,
+                                                n_kernel),
+                       (n_kernel, self.dim_in, self.dim_out))
+
+        feats = x.feats                               # [b, p, 60, c]
+        out = None
+        for k in range(n_kernel):
+            perm = jnp.asarray(ti[:, k])
+            term = jnp.einsum('bpac,cd->bpad', feats[:, :, perm, :], W[k])
+            out = term if out is None else out + term
         anchors = jnp.asarray(_anchors_const(60))
-        return SphericalPointCloud(x.xyz, feats, anchors)
+        return SphericalPointCloud(x.xyz, out, anchors)
 
 
 class InterSO3Conv(fnn.Module):
     """Spatial SO(3)-anchor conv: ball grouping + anchor-rotated kernel
-    weights + BasicSO3Conv (ref: so3conv/modules.py:125-174)."""
+    weights + learned conv matmul (ref: so3conv/modules.py:125-174).
+
+    By default runs the fused anchor-chunked path (identical math, never
+    materializes the [b,p,n,a,c]/[b,p,a,k,c] intermediates; no inter_w cache
+    is produced). The unfused reference-structured path runs when a cached
+    (inter_idx, inter_w) pair is supplied, when pooling is active, or when
+    fused=False."""
     dim_in: int
     dim_out: int
     kernel_size: int
@@ -206,18 +225,41 @@ class InterSO3Conv(fnn.Module):
     lazy_sample: bool = True
     pooling: Optional[str] = None
     kanchor: int = 60
+    fused: bool = True
+    anchor_chunk: int = 12
+    remat: bool = True
 
     @fnn.compact
     def __call__(self, x: SphericalPointCloud, inter_idx=None, inter_w=None):
         anchors = jnp.asarray(_anchors_const(self.kanchor))
         kernels = jnp.asarray(_kernels_const(self.radius, self.kernel_size))
-        n_kernel = kernels.shape[0]
-        inter_idx, inter_w, xyz, feats, sample_idx = so3conv.inter_so3conv_grouping(
-            x.xyz, x.feats, self.stride, self.n_neighbor, anchors, kernels,
-            self.radius, self.sigma, inter_idx, inter_w,
-            self.lazy_sample, pooling=self.pooling)
-        feats = BasicSO3Conv(self.dim_in, self.dim_out, int(n_kernel))(feats)
-        return inter_idx, inter_w, sample_idx, SphericalPointCloud(xyz, feats, anchors)
+        n_kernel = int(kernels.shape[0])
+        W = self.param('W', so3conv_weight_init(self.dim_in, self.dim_out,
+                                                n_kernel),
+                       (n_kernel, self.dim_in, self.dim_out))
+
+        use_fused = (self.fused and self.pooling is None
+                     and inter_w is None)
+        if use_fused:
+            chunk = self.anchor_chunk
+            na = anchors.shape[0]
+            while na % chunk != 0:
+                chunk -= 1
+            inter_idx, xyz, feats, sample_idx = so3conv.inter_so3conv_fused(
+                x.xyz, x.feats, self.stride, self.n_neighbor, anchors,
+                kernels, self.radius, self.sigma, W,
+                lazy_sample=self.lazy_sample, anchor_chunk=chunk,
+                remat=self.remat)
+            inter_w = None
+        else:
+            inter_idx, inter_w, xyz, feats, sample_idx = \
+                so3conv.inter_so3conv_grouping(
+                    x.xyz, x.feats, self.stride, self.n_neighbor, anchors,
+                    kernels, self.radius, self.sigma, inter_idx, inter_w,
+                    self.lazy_sample, pooling=self.pooling)
+            feats = jnp.einsum('bpakc,kcd->bpad', feats, W)
+        return inter_idx, inter_w, sample_idx, SphericalPointCloud(
+            xyz, feats, anchors)
 
 
 class PointnetSO3Conv(fnn.Module):

@@ -167,6 +167,12 @@ def inter_grouping_ball(xyz: jnp.ndarray, stride: int, radius: float,
       sample_xyz  [b, p2, 3]
     where p2 = ceil(p1 / stride).
     """
+    if n_neighbor <= 0:
+        raise ValueError(
+            f'n_neighbor={n_neighbor}; the builder arithmetic (e.g. '
+            f'inv_so3net_pn neighbor *= int(input_num/1024), ref '
+            f'inv_so3net_pn.py:112-113) degenerates for small input_num — '
+            f'use input_num >= 1024 for this model config')
     p1 = xyz.shape[1]
     n_sample = math.ceil(p1 / stride)
     sample_idx, sample_xyz = furthest_sample(xyz, n_sample, lazy_sample)

@@ -138,6 +138,104 @@ def inter_so3conv_grouping(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
     return inter_idx, inter_w, new_xyz, new_feats, sample_idx
 
 
+# Global compute-precision policy for the hot conv path. 'fp32' (default)
+# keeps reference parity; 'bf16' casts the neighbor-feature stream and conv
+# weights to bfloat16 with fp32 accumulation (the TPU-native production
+# setting — the MXU natively consumes bf16).
+_COMPUTE_DTYPE = jnp.float32
+
+
+def set_compute_dtype(name: str):
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = {'fp32': jnp.float32, 'float32': jnp.float32,
+                      'bf16': jnp.bfloat16, 'bfloat16': jnp.bfloat16}[name]
+
+
+def get_compute_dtype():
+    return _COMPUTE_DTYPE
+
+
+# Pallas kernel toggle for the fused inter conv (on by default on TPU;
+# interpret-mode fallback keeps CPU tests running the same code path).
+_USE_PALLAS = True
+
+
+def set_use_pallas(flag: bool):
+    global _USE_PALLAS
+    _USE_PALLAS = bool(flag)
+
+
+def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
+                        n_neighbor: int, anchors: jnp.ndarray,
+                        kernels: jnp.ndarray, radius: float, sigma: float,
+                        W: jnp.ndarray, lazy_sample: bool = True,
+                        radius_expansion: float = 1.0,
+                        anchor_chunk: int = 12,
+                        remat: bool = True,
+                        use_pallas: Optional[bool] = None):
+    """Fused inter conv: grouping + anchor weights + neighbor contraction +
+    the learned BasicSO3Conv matmul, computed in anchor chunks so the
+    [b, p, n, a, c] and [b, p, a, k, c] intermediates of the reference
+    formulation (spconv/functional.py:372-390 + so3conv/modules.py:48-55)
+    are never materialized. Numerically identical to the unfused path.
+
+    W: [k, c_in, c_out] conv weight.
+    Returns (inter_idx, new_xyz, out_feats [b, p2, a, c_out], sample_idx).
+    The inter_w cache is not produced (recompute is cheaper than the HBM).
+    """
+    grouped_xyz, inter_idx, sample_idx, new_xyz = sampling.inter_grouping_ball(
+        xyz, stride, radius * radius_expansion, n_neighbor, lazy_sample)
+    feats_pad = sampling.add_shadow_feature(feats)    # [b, p1+1, a, c]
+
+    gx2 = jnp.sum(grouped_xyz ** 2, axis=-1)          # [b, p2, n]
+    k2 = jnp.sum(kernels ** 2, axis=-1)               # [k]
+    na = anchors.shape[0]
+    chunk = min(anchor_chunk, na)
+    assert na % chunk == 0, (na, chunk)
+
+    cdt = _COMPUTE_DTYPE
+    use_pl = _USE_PALLAS if use_pallas is None else use_pallas
+    interpret = jax.default_backend() != 'tpu'
+
+    def chunk_fn(anchors_c, feats_c):
+        # anchors_c [ac,3,3]; feats_c [b, p1+1, ac, c]
+        rk = jnp.einsum('aij,kj->aki', anchors_c, kernels)          # [ac,k,3]
+        if use_pl:
+            from .pallas.inter_conv import fused_neighbor_conv
+            b, p2, nn = inter_idx.shape
+            ac = anchors_c.shape[0]
+            # anchor-major gather [b, ac, p, n, c] straight from a
+            # [b, ac, q, c] transpose of the support features
+            featsT = jnp.swapaxes(feats_c.astype(cdt), 1, 2)
+            Ga = jnp.take_along_axis(
+                featsT, inter_idx.reshape(b, 1, p2 * nn, 1), axis=2)
+            Ga = Ga.reshape(b, ac, p2, nn, featsT.shape[-1])
+            F = fused_neighbor_conv(grouped_xyz, Ga,
+                                    rk.reshape(-1, 3), k2[None, :],
+                                    float(sigma), interpret)
+        else:
+            G = sampling.gather_points(feats_c.astype(cdt), inter_idx)  # [b,p,n,ac,c]
+            cross = jnp.einsum('bpnc,akc->bpnak', grouped_xyz, rk)
+            d2 = (gx2[..., None, None] + k2[None, None, None, None, :]
+                  - 2.0 * cross)
+            w = jax.nn.relu(1.0 - d2 / sigma).astype(cdt)           # [b,p,n,ac,k]
+            # broadcast-multiply-reduce: lowers to VPU fusions instead of
+            # the pathological tiny batched GEMMs an einsum produces here
+            F = (w[..., :, None] * G[..., None, :]).sum(axis=2)     # [b,p,ac,k,c]
+        return jnp.einsum('bpakc,kcd->bpad', F.astype(cdt), W.astype(cdt),
+                          preferred_element_type=jnp.float32)       # [b,p,ac,c2]
+
+    if remat:
+        chunk_fn = jax.checkpoint(chunk_fn)
+
+    outs = []
+    for s in range(0, na, chunk):
+        outs.append(chunk_fn(jax.lax.slice_in_dim(anchors, s, s + chunk, axis=0),
+                             jax.lax.slice_in_dim(feats_pad, s, s + chunk, axis=2)))
+    out = jnp.concatenate(outs, axis=2)
+    return inter_idx, new_xyz, out, sample_idx
+
+
 def inter_so3conv_blurring(xyz, feats, n_neighbor, radius, stride,
                            inter_idx=None, lazy_sample=True,
                            radius_expansion: float = 1.0):
