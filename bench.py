@@ -27,6 +27,11 @@ def bench_forward(batch=32, input_num=1024, kanchor=60, iters=20, warmup=3):
     import jax.numpy as jnp
     from epn_pointcloud_tpu import models
     from epn_pointcloud_tpu.app.config import default_opt
+    from epn_pointcloud_tpu.ops import so3conv
+
+    # production precision: bf16 neighbor-feature stream + conv weights with
+    # fp32 accumulation (parity tests run the fp32 default)
+    so3conv.set_compute_dtype('bf16')
 
     opt = default_opt(**{'model.model': 'cls_so3net_pn',
                          'model.input_num': input_num,
@@ -35,7 +40,8 @@ def bench_forward(batch=32, input_num=1024, kanchor=60, iters=20, warmup=3):
     model = models.build_model_from(opt)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, input_num, 3).astype(np.float32))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    init_fn = jax.jit(lambda rng, x: model.init(rng, x, train=False))
+    variables = init_fn(jax.random.PRNGKey(0), x)
 
     @jax.jit
     def fwd(x):

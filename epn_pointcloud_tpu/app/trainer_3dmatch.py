@@ -61,7 +61,9 @@ class Trainer3DMatch(Trainer):
         super()._setup_mesh()
         n = self.opt.batch_size * self.opt.npt
         x0 = jnp.zeros((n, self.opt.model.input_num, 3), jnp.float32)
-        variables = self.model.init(self.next_rng(), x0, train=False)
+        variables = jax.jit(
+            lambda r, x: self.model.init(r, x, train=False))(
+            self.next_rng(), x0)
         self.state = create_train_state(self.model, variables, self.lr_schedule)
         self.state = self.state.replace(
             params=replicate(self.state.params, self.mesh),

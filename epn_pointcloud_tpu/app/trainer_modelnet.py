@@ -59,7 +59,9 @@ class TrainerModelNet(Trainer):
         # initialize variables and the train state
         x0 = jnp.zeros((self.opt.batch_size, self.opt.model.input_num, 3),
                        jnp.float32)
-        variables = self.model.init(self.next_rng(), x0, train=False)
+        variables = jax.jit(
+            lambda r, x: self.model.init(r, x, train=False))(
+            self.next_rng(), x0)
         self.state = create_train_state(self.model, variables, self.lr_schedule)
         self.state = self.state.replace(
             params=replicate(self.state.params, self.mesh),

@@ -32,6 +32,18 @@ def _intra_idx_const() -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _intra_onehot_const() -> np.ndarray:
+    """One-hot adjacency M[x, a, k] = [trace_idx[a, k] == x], float32."""
+    ti = _intra_idx_const()
+    na, nk = ti.shape
+    M = np.zeros((na, na, nk), dtype=np.float32)
+    for a in range(na):
+        for k in range(nk):
+            M[ti[a, k], a, k] = 1.0
+    return M
+
+
+@functools.lru_cache(maxsize=None)
 def _kernels_const(radius: float, kernel_size: int) -> np.ndarray:
     return kernel_points.get_spherical_kernel_points(
         KERNEL_CONDENSE_RATIO * radius, kernel_size)
@@ -181,27 +193,30 @@ class IntraSO3Conv(fnn.Module):
     adjacency, then the learned conv matmul (ref: so3conv/modules.py:177-200).
     Only valid for kanchor == 60.
 
-    Computed as a sum over the 12 stencil slots — each trace_idx column is a
-    permutation of the 60 anchors (right multiplication by a fixed group
-    element), so out = sum_k (f o perm_k) @ W_k. This never materializes the
-    [b, p, a, 12, c] gather of the reference formulation; same math."""
+    Computed as ONE dense GEMM: the static one-hot group adjacency
+    M[x, a, k] = [trace_idx[a, k] == x] is folded into the learned weight,
+      U[x, c1, a, c2] = sum_k M[x, a, k] W[k, c1, c2]
+      out[b, p, a, c2] = sum_{x, c1} f[b, p, x, c1] U[x, c1, a, c2]
+    — 5x the MACs of the sparse gather form (12/60 density) but all on the
+    MXU; anchor-axis gathers lower to while-loops of dynamic slices on TPU
+    (~300 ms/step measured across the model vs ~20 ms for this GEMM)."""
     dim_in: int
     dim_out: int
 
     @fnn.compact
     def __call__(self, x: SphericalPointCloud) -> SphericalPointCloud:
         ti = _intra_idx_const()                       # [60, 12] numpy
-        n_kernel = int(ti.shape[1])
+        na, n_kernel = ti.shape
         W = self.param('W', so3conv_weight_init(self.dim_in, self.dim_out,
-                                                n_kernel),
-                       (n_kernel, self.dim_in, self.dim_out))
+                                                int(n_kernel)),
+                       (int(n_kernel), self.dim_in, self.dim_out))
 
-        feats = x.feats                               # [b, p, 60, c]
-        out = None
-        for k in range(n_kernel):
-            perm = jnp.asarray(ti[:, k])
-            term = jnp.einsum('bpac,cd->bpad', feats[:, :, perm, :], W[k])
-            out = term if out is None else out + term
+        from ..ops import so3conv as so3f
+        cdt = so3f.get_compute_dtype()
+        M = jnp.asarray(_intra_onehot_const(), dtype=cdt)   # [x, a, k]
+        U = jnp.einsum('xak,kcd->xcad', M, W.astype(cdt))
+        out = jnp.einsum('bpxc,xcad->bpad', x.feats.astype(cdt), U,
+                         preferred_element_type=jnp.float32)
         anchors = jnp.asarray(_anchors_const(60))
         return SphericalPointCloud(x.xyz, out, anchors)
 

@@ -30,12 +30,12 @@ from jax.experimental import pallas as pl
 
 def _pick_tile(p: int, n: int, k: int, c1: int, itemsize: int) -> int:
     """Point-tile size fitting ~6 MB of VMEM (double-buffered inputs)."""
-    budget = 6 * 1024 * 1024
-    per_point = (n * c1 * itemsize        # G tile
-                 + k * c1 * 4             # F accumulator (f32)
+    budget = 4 * 1024 * 1024
+    per_point = (2 * n * c1 * itemsize    # G tile (double-buffered)
+                 + 4 * k * c1 * 4         # F accumulator + live partials
                  + n * k * 4              # w
                  + n * 4 * 4)             # gx
-    t = max(1, min(256, budget // max(per_point, 1)))
+    t = max(1, min(128, budget // max(per_point, 1)))
     while p % t != 0:
         t -= 1
     return t
@@ -59,12 +59,20 @@ def _kernel(gxt_ref, g_ref, rk_ref, k2_ref, out_ref, *, sigma: float):
     g = g_ref[0, 0]                                        # [T, N, C1]
     C1 = g.shape[-1]
 
-    acc = jnp.zeros((T, K, C1), jnp.float32)
-    for n in range(N):                                     # static unroll
+    # Accumulate in small unrolled groups with pairwise partial sums so only
+    # a couple of [T, K, C1] vector temporaries are ever live (a linear SSA
+    # chain makes Mosaic stack-allocate every partial; a ref accumulation
+    # per neighbor would double VMEM traffic).
+    def term(n):
         wn = w[n * T:(n + 1) * T, :]                       # [T, K]
         gn = g[:, n, :].astype(jnp.float32)                # [T, C1]
-        acc = acc + wn[:, :, None] * gn[:, None, :]
-    out_ref[0, :, 0] = acc
+        return wn[:, :, None] * gn[:, None, :]
+
+    group = 4
+    out_ref[0, :, 0] = sum(term(n) for n in range(0, min(group, N)))
+    for start in range(group, N, group):
+        part = sum(term(n) for n in range(start, min(start + group, N)))
+        out_ref[0, :, 0] += part
 
 
 def _pallas_F(gx, G, rk, k2, sigma, interpret=False):

@@ -54,7 +54,13 @@ def furthest_point_sampling(xyz: jnp.ndarray, n_sample: int) -> jnp.ndarray:
 
     Reference semantics: the first sample is always index 0; points with
     squared norm <= 1e-3 (shadow guard) are never selected.
+
+    On TPU this runs as a Pallas kernel with the cloud VMEM-resident (the
+    XLA while-loop pays ~0.3 ms dispatch per iteration; the kernel doesn't).
     """
+    if jax.default_backend() == 'tpu':
+        from .pallas.fps import fps_pallas
+        return fps_pallas(xyz, n_sample, FPS_SHADOW_EPS)
     b, n, _ = xyz.shape
     mag = jnp.sum(xyz ** 2, axis=-1)                    # [b, n]
     valid = mag > FPS_SHADOW_EPS                        # [b, n]
@@ -115,17 +121,15 @@ def ball_query(query: jnp.ndarray, support: jnp.ndarray, radius: float,
     d2 = jnp.sum((query[:, :, None, :] - support[:, None, :, :]) ** 2, -1)
     hit = d2 < r2
 
-    rank = jnp.cumsum(hit, axis=-1) - 1                          # hit order
-    cnt = jnp.maximum(rank[..., -1] + 1, 0)                      # [b,m] hits
+    # "First n_sample hits in index order" == the n_sample LARGEST values of
+    # key = -index (hits) / -n (misses): a top_k, which lowers to a fast TPU
+    # sort instead of the serialized scatter a positional write needs.
+    kidx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(hit, -kidx[None, None, :], -jnp.int32(n))
+    topk, _ = jax.lax.top_k(key, n_sample)                       # [b,m,ns]
+    out = jnp.where(topk > -n, -topk, 0).astype(jnp.int32)
 
-    # Scatter support index k into slot rank[k] (first n_sample hits only).
-    slot = jnp.where(hit & (rank < n_sample), rank, n_sample)    # dump slot
-    out = jnp.zeros((b, m, n_sample + 1), dtype=jnp.int32)
-    bidx = jnp.arange(b)[:, None, None]
-    midx = jnp.arange(m)[None, :, None]
-    kidx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, None, :], (b, m, n))
-    out = out.at[bidx, midx, slot].set(kidx, mode='drop')
-    out = out[..., :n_sample]
+    cnt = jnp.minimum(hit.sum(axis=-1), n_sample)                # [b,m]
 
     # Periodic repeat fill: idx[s] = idx[s % cnt] for s >= cnt (cnt=0 -> 0).
     s = jnp.arange(n_sample)[None, None, :]

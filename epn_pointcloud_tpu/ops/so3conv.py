@@ -155,9 +155,12 @@ def get_compute_dtype():
     return _COMPUTE_DTYPE
 
 
-# Pallas kernel toggle for the fused inter conv (on by default on TPU;
-# interpret-mode fallback keeps CPU tests running the same code path).
-_USE_PALLAS = True
+# Pallas kernel toggle for the fused inter conv. Default OFF: the measured
+# XLA broadcast-multiply-reduce formulation is currently faster than the v1
+# Pallas kernel on this Mosaic version (6.9ms vs 37ms per anchor chunk at the
+# block0 reference shape) and bit-correct; the kernel is kept for further
+# iteration (see ops/pallas/inter_conv.py).
+_USE_PALLAS = False
 
 
 def set_use_pallas(flag: bool):
@@ -220,7 +223,10 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                   - 2.0 * cross)
             w = jax.nn.relu(1.0 - d2 / sigma).astype(cdt)           # [b,p,n,ac,k]
             # broadcast-multiply-reduce: lowers to VPU fusions instead of
-            # the pathological tiny batched GEMMs an einsum produces here
+            # the pathological tiny batched GEMMs an einsum produces here.
+            # Accumulate in the compute dtype: in bf16 mode a separate f32
+            # F buffer doubles HBM traffic and blows memory (neighbor counts
+            # are 16-64, so bf16 accumulation error stays ~1e-2 relative).
             F = (w[..., :, None] * G[..., None, :]).sum(axis=2)     # [b,p,ac,k,c]
         return jnp.einsum('bpakc,kcd->bpad', F.astype(cdt), W.astype(cdt),
                           preferred_element_type=jnp.float32)       # [b,p,ac,c2]
@@ -228,10 +234,15 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
     if remat:
         chunk_fn = jax.checkpoint(chunk_fn)
 
+    # Unrolled loop over anchor chunks. XLA pipelines the chunks; with the
+    # bf16 compute dtype the overlapping [b,p,n,ac,*] intermediates fit HBM.
+    # (A lax.scan variant serializes and adds per-chunk feature copies —
+    # measured slower: 34 vs 43+ clouds/s on the flagship bench.)
     outs = []
     for s in range(0, na, chunk):
-        outs.append(chunk_fn(jax.lax.slice_in_dim(anchors, s, s + chunk, axis=0),
-                             jax.lax.slice_in_dim(feats_pad, s, s + chunk, axis=2)))
+        outs.append(chunk_fn(
+            jax.lax.slice_in_dim(anchors, s, s + chunk, axis=0),
+            jax.lax.slice_in_dim(feats_pad, s, s + chunk, axis=2)))
     out = jnp.concatenate(outs, axis=2)
     return inter_idx, new_xyz, out, sample_idx
 
