@@ -49,9 +49,14 @@ def radius_ball_search(points: np.ndarray, kpt_indices: np.ndarray,
     Returns (list of [input_num, 3] patches, downsampled cloud)."""
     rng = rng or np.random
     keypoints = points[kpt_indices]
-    pc_down = pctk.voxel_downsample_np(points, voxel_size)
-    search = KDTree(pc_down)
-    results = search.query_ball_point(keypoints, search_radius)
+    from .. import native
+    if native.available():
+        pc_down = native.voxel_downsample(points, voxel_size)
+        results = native.radius_search_lists(pc_down, keypoints, search_radius)
+    else:
+        pc_down = pctk.voxel_downsample_np(points, voxel_size)
+        search = KDTree(pc_down)
+        results = search.query_ball_point(keypoints, search_radius)
     all_pc = []
     for indices in results:
         if len(indices) <= 1:

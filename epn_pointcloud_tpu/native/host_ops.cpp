@@ -19,6 +19,8 @@
 #include <vector>
 #include <unordered_map>
 #include <algorithm>
+#include <array>
+#include <limits>
 #include <random>
 
 namespace {
@@ -78,11 +80,9 @@ int64_t voxel_downsample(const float* pts, int64_t n, float voxel_size,
                   static_cast<int64_t>(std::floor(pts[3 * i + 2] * inv))};
         auto it = cells.find(k);
         if (it == cells.end()) {
-            auto res = cells.emplace(
-                k, std::make_pair(int64_t(1),
-                                  std::array<double, 3>{pts[3 * i],
-                                                        pts[3 * i + 1],
-                                                        pts[3 * i + 2]}));
+            std::array<double, 3> c{{pts[3 * i], pts[3 * i + 1],
+                                     pts[3 * i + 2]}};
+            auto res = cells.emplace(k, std::make_pair(int64_t(1), c));
             order.push_back(&res.first->first);
         } else {
             it->second.first += 1;

@@ -30,9 +30,11 @@ from jax.experimental import pallas as pl
 
 def _pick_tile(p: int, n: int, k: int, c1: int, itemsize: int) -> int:
     """Point-tile size fitting ~6 MB of VMEM (double-buffered inputs)."""
-    budget = 4 * 1024 * 1024
+    budget = 10 * 1024 * 1024
+    # Mosaic stack-allocates every unrolled term's [T,K,C1] temporary (no
+    # buffer reuse observed), so the dominant cost scales with N.
     per_point = (2 * n * c1 * itemsize    # G tile (double-buffered)
-                 + 4 * k * c1 * 4         # F accumulator + live partials
+                 + (n + 4) * k * c1 * 4   # per-neighbor partials + accum
                  + n * k * 4              # w
                  + n * 4 * 4)             # gx
     t = max(1, min(128, budget // max(per_point, 1)))
@@ -46,28 +48,26 @@ def _kernel(gxt_ref, g_ref, rk_ref, k2_ref, out_ref, *, sigma: float):
     N, T, _ = gxt.shape
     rk = rk_ref[:]                                  # [K, 3]
     K = rk.shape[0]
-
-    # rows ordered (n, t) so per-neighbor slices are contiguous
-    gx_nt = gxt.reshape(N * T, 3)
-    gx2 = jnp.sum(gx_nt * gx_nt, axis=-1, keepdims=True)   # [N*T, 1]
-    cross = jax.lax.dot_general(
-        gx_nt, rk, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [N*T, K]
-    d2 = gx2 + k2_ref[:] - 2.0 * cross
-    w = jax.nn.relu(1.0 - d2 / sigma)                      # [N*T, K]
-
-    g = g_ref[0, 0]                                        # [T, N, C1]
+    g = g_ref[0, 0]                                 # [T, N, C1]
     C1 = g.shape[-1]
+    k2 = k2_ref[:]                                  # [1, K]
+
+    # No reshapes (Mosaic layout traps); per-neighbor [T,3]x[3,K] dot + FMA.
+    def term(n):
+        gxn = gxt[n]                                       # [T, 3]
+        gx2n = jnp.sum(gxn * gxn, axis=-1, keepdims=True)  # [T, 1]
+        cross = jax.lax.dot_general(
+            gxn, rk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [T, K]
+        d2 = gx2n + k2 - 2.0 * cross
+        wn = jax.nn.relu(1.0 - d2 / sigma)                 # [T, K]
+        gn = g[:, n, :].astype(jnp.float32)                # [T, C1]
+        return wn[:, :, None] * gn[:, None, :]
 
     # Accumulate in small unrolled groups with pairwise partial sums so only
     # a couple of [T, K, C1] vector temporaries are ever live (a linear SSA
     # chain makes Mosaic stack-allocate every partial; a ref accumulation
     # per neighbor would double VMEM traffic).
-    def term(n):
-        wn = w[n * T:(n + 1) * T, :]                       # [T, K]
-        gn = g[:, n, :].astype(jnp.float32)                # [T, C1]
-        return wn[:, :, None] * gn[:, None, :]
-
     group = 4
     out_ref[0, :, 0] = sum(term(n) for n in range(0, min(group, N)))
     for start in range(group, N, group):
