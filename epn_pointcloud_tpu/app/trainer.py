@@ -66,8 +66,11 @@ class Trainer:
         self.start_iter = 0
         self.iter_counter = 0
 
-        self._resume_from_ckpt(getattr(opt, 'resume_path', None))
+        # mesh + train-state creation precedes resume (the checkpoint loads
+        # into the created state; ref resumes into the built model too,
+        # trainer.py:70-71)
         self._setup_mesh()
+        self._resume_from_ckpt(getattr(opt, 'resume_path', None))
 
         self.summary = Summary()
         self.timer = Timer()

@@ -135,7 +135,10 @@ def evaluate_scene(scene_dir, feature_dir, scene_name, suffix=None,
                         srcp, tgtp, gt_transform, 0.1, descriptor])
 
     if num_thread > 1:
-        with Pool(num_thread) as pool:
+        # spawn (not fork): the caller is usually a JAX process and fork
+        # deadlocks with multithreaded runtimes
+        import multiprocessing as mp
+        with mp.get_context('spawn').Pool(num_thread) as pool:
             rst = pool.starmap(evaluate_fragment_pair, mp_args)
     else:
         rst = [evaluate_fragment_pair(*a) for a in mp_args]
