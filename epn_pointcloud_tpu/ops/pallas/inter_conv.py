@@ -1,22 +1,38 @@
-"""Pallas TPU kernel: fused SO(3) inter-convolution core.
+"""Pallas TPU kernel: fused SO(3) inter-convolution core (block-diagonal MXU
+formulation).
 
 Computes, tile-resident in VMEM (never materializing the [b,p,n,a,k] weight /
 [b,p,a,k,c] feature intermediates in HBM):
 
-    cross[t,n,k] = gx[t,n,:] . (R_a kappa_k)          (per grid anchor a)
-    w[t,n,k]     = relu(1 - (|gx|^2 + |kappa|^2 - 2 cross) / sigma)
-    F[t,a,k,c]   = sum_n w[t,n,k] * G[t,n,a,c]
+    d2[t,n,k] = |gx[t,n]|^2 + |kappa_k|^2 - 2 gx[t,n] . (R_a kappa_k)
+    w[t,n,k]  = relu(1 - d2 / sigma)
+    F[t,a,k,c] = sum_n w[t,n,k] * G[t,n,a,c]          (anchor a on the grid)
 
-which is the math of the reference inter conv
-(vgtk/vgtk/so3conv/functional.py:180-218 anchor weights +
-spconv/functional.py:372-390 grouping), restructured for TPU: the anchor
-axis rides the Pallas grid, the neighbor reduction runs as unrolled VPU FMAs
-over [k, c1] tiles, and the downstream (k*c1) x c2 learned contraction
-(so3conv/modules.py:48-55) stays outside as a well-shaped XLA GEMM.
+matching the reference inter conv math (vgtk/vgtk/so3conv/functional.py:
+180-218 anchor weights + spconv/functional.py:372-390 grouping). The
+downstream (k*c1) x c2 learned contraction (so3conv/modules.py:48-55) stays
+outside as a well-shaped XLA GEMM.
 
-Gradients: parameters only receive gradients through G (gathered features) —
-the weights w depend only on input coordinates, which carry no parameter
-dependence — so the custom VJP recomputes w and evaluates dG with plain XLA.
+TPU mapping: the neighbor reduction is a too-small GEMM (M=K_k, K=N, N=C1)
+for the MXU on its own; here T' points share one GEMM through a BLOCK-DIAGONAL
+left operand
+
+    BD[(t,k), (t',n)] = [t == t'] * w[t,n,k]           ([T'*K, T'*N=128])
+    F_sub = BD @ G_sub                                  ([T'*K, C1])
+
+with the kernel-point norm folded into a 4th coordinate so no transposes or
+lane reshapes are needed anywhere:
+
+    d2 - |gx|^2 = [gx, 1] . [-2 R_a kappa, |kappa|^2]^T.
+
+STATUS: WIP — correct in interpret mode; on this image's Mosaic version the
+compiled kernel both mis-executes (reshape/slice layout issue under the
+fori_loop form) and runs far below the XLA mul-reduce formulation, so the
+default path is the XLA one (ops/so3conv.py, _USE_PALLAS = False). Revisit
+with a newer Mosaic.
+
+Gradients: parameters only receive gradients through G — w depends only on
+input coordinates — so the custom VJP recomputes w and evaluates dG in XLA.
 """
 
 from __future__ import annotations
@@ -26,53 +42,63 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_tile(p: int, n: int, k: int, c1: int, itemsize: int) -> int:
-    """Point-tile size fitting ~6 MB of VMEM (double-buffered inputs)."""
-    budget = 10 * 1024 * 1024
-    # Mosaic stack-allocates every unrolled term's [T,K,C1] temporary (no
-    # buffer reuse observed), so the dominant cost scales with N.
+    budget = 6 * 1024 * 1024
     per_point = (2 * n * c1 * itemsize    # G tile (double-buffered)
-                 + (n + 4) * k * c1 * 4   # per-neighbor partials + accum
-                 + n * k * 4              # w
-                 + n * 4 * 4)             # gx
-    t = max(1, min(128, budget // max(per_point, 1)))
+                 + k * c1 * 4             # F out block
+                 + 2 * k * 128 * 4        # BD / D2 subtile temporaries
+                 + n * 4 * 4)
+    t = max(1, min(256, budget // max(per_point, 1)))
     while p % t != 0:
         t -= 1
     return t
 
 
-def _kernel(gxt_ref, g_ref, rk_ref, k2_ref, out_ref, *, sigma: float):
-    gxt = gxt_ref[0]                                # [N, T, 3]
-    N, T, _ = gxt.shape
-    rk = rk_ref[:]                                  # [K, 3]
-    K = rk.shape[0]
-    g = g_ref[0, 0]                                 # [T, N, C1]
-    C1 = g.shape[-1]
-    k2 = k2_ref[:]                                  # [1, K]
+def _kernel(gx_ref, g_ref, rk4_ref, out_ref, *, sigma: float):
+    _, T, N, _ = gx_ref.shape
+    rk4 = rk4_ref[:]                                # [K, 4]
+    K = rk4.shape[0]
+    C1 = g_ref.shape[-1]
+    gdt = g_ref.dtype
 
-    # No reshapes (Mosaic layout traps); per-neighbor [T,3]x[3,K] dot + FMA.
-    def term(n):
-        gxn = gxt[n]                                       # [T, 3]
-        gx2n = jnp.sum(gxn * gxn, axis=-1, keepdims=True)  # [T, 1]
+    TP = max(1, 128 // N)                           # points per block-diag GEMM
+    while T % TP != 0:
+        TP //= 2
+    R, S = TP * K, TP * N                           # BD shape per subtile
+
+    # static block-diagonal mask [R, S]: row t == col t'
+    row_t = jax.lax.broadcasted_iota(jnp.int32, (R, S), 0) // K
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1) // N
+    mask = (row_t == col_t).astype(jnp.float32)
+
+    # rk4 tiled per subtile point: [R, 4] = repeat rk4 TP times along rows
+    rk4_tiled = jnp.concatenate([rk4] * TP, axis=0) if TP > 1 else rk4
+
+    inv_sigma = jnp.float32(1.0 / sigma)
+    ones = jnp.ones((S, 1), jnp.float32)
+
+    def body(st, _):
+        gx_sub = gx_ref[0, pl.ds(st * TP, TP)].reshape(S, 3)
+        gx4 = jnp.concatenate([gx_sub, ones], axis=1)          # [S, 4]
+        # kappa^2 - 2 gx . (R_a kappa), for all (t,k) x (t',n)
         cross = jax.lax.dot_general(
-            gxn, rk, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [T, K]
-        d2 = gx2n + k2 - 2.0 * cross
-        wn = jax.nn.relu(1.0 - d2 / sigma)                 # [T, K]
-        gn = g[:, n, :].astype(jnp.float32)                # [T, C1]
-        return wn[:, :, None] * gn[:, None, :]
+            rk4_tiled, gx4, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [R, S]
+        gx2 = jnp.sum(gx_sub * gx_sub, axis=-1).reshape(1, S)
+        w = jax.nn.relu(1.0 - (gx2 + cross) * inv_sigma)
+        bd = (w * mask).astype(gdt)                            # [R, S]
 
-    # Accumulate in small unrolled groups with pairwise partial sums so only
-    # a couple of [T, K, C1] vector temporaries are ever live (a linear SSA
-    # chain makes Mosaic stack-allocate every partial; a ref accumulation
-    # per neighbor would double VMEM traffic).
-    group = 4
-    out_ref[0, :, 0] = sum(term(n) for n in range(0, min(group, N)))
-    for start in range(group, N, group):
-        part = sum(term(n) for n in range(start, min(start + group, N)))
-        out_ref[0, :, 0] += part
+        g_sub = g_ref[0, 0, pl.ds(st * TP, TP)].reshape(S, C1)
+        f_sub = jax.lax.dot_general(
+            bd, g_sub, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [R, C1]
+        out_ref[0, pl.ds(st * TP, TP), 0] = f_sub.reshape(TP, K, C1)
+        return 0
+
+    jax.lax.fori_loop(0, T // TP, body, 0)
 
 
 def _pallas_F(gx, G, rk, k2, sigma, interpret=False):
@@ -82,22 +108,27 @@ def _pallas_F(gx, G, rk, k2, sigma, interpret=False):
     AC, C1 = G.shape[1], G.shape[4]
     K = k2.shape[1]
     T = _pick_tile(P, N, K, C1, G.dtype.itemsize)
-    gxt = jnp.swapaxes(gx, 1, 2)                           # [B, N, P, 3]
+    # fold |kappa|^2 into a 4th coordinate: rk4 = [-2 rk, k2]
+    rk4 = jnp.concatenate(
+        [-2.0 * rk.reshape(AC, K, 3),
+         jnp.broadcast_to(k2[0][None, :, None], (AC, K, 1))], axis=-1)
+    rk4 = rk4.reshape(AC * K, 4)
 
     return pl.pallas_call(
         functools.partial(_kernel, sigma=float(sigma)),
         grid=(B, P // T, AC),
         in_specs=[
-            pl.BlockSpec((1, N, T, 3), lambda b, p, a: (b, 0, p, 0)),
+            pl.BlockSpec((1, T, N, 3), lambda b, p, a: (b, p, 0, 0)),
             pl.BlockSpec((1, 1, T, N, C1), lambda b, p, a: (b, a, p, 0, 0)),
-            pl.BlockSpec((K, 3), lambda b, p, a: (a, 0)),
-            pl.BlockSpec((1, K), lambda b, p, a: (0, 0)),
+            pl.BlockSpec((K, 4), lambda b, p, a: (a, 0)),
         ],
         out_specs=pl.BlockSpec((1, T, 1, K, C1),
                                lambda b, p, a: (b, p, a, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, P, AC, K, C1), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(gxt, G, rk, k2)
+    )(gx, G, rk4)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
