@@ -217,6 +217,8 @@ class IntraSO3Conv(fnn.Module):
         U = jnp.einsum('xak,kcd->xcad', M, W.astype(cdt))
         out = jnp.einsum('bpxc,xcad->bpad', x.feats.astype(cdt), U,
                          preferred_element_type=jnp.float32)
+        from ..parallel.mesh import constrain_feats
+        out = constrain_feats(out)
         anchors = jnp.asarray(_anchors_const(60))
         return SphericalPointCloud(x.xyz, out, anchors)
 
@@ -273,6 +275,8 @@ class InterSO3Conv(fnn.Module):
                     kernels, self.radius, self.sigma, inter_idx, inter_w,
                     self.lazy_sample, pooling=self.pooling)
             feats = jnp.einsum('bpakc,kcd->bpad', feats, W)
+        from ..parallel.mesh import constrain_feats
+        feats = constrain_feats(feats)
         return inter_idx, inter_w, sample_idx, SphericalPointCloud(
             xyz, feats, anchors)
 

@@ -1,3 +1,4 @@
 from .mesh import (  # noqa: F401
-    batch_sharding, make_mesh, replicate, shard_batch)
+    batch_sharding, constrain_feats, get_global_mesh, make_mesh,
+    replicate, set_global_mesh, shard_batch)
 from .train import TrainState, create_train_state, make_lr_schedule  # noqa: F401

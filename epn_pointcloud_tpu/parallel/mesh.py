@@ -45,3 +45,40 @@ def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (e.g. params) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+# --------------------------------------------------------------------------
+# Anchor-axis model parallelism. The natural "tensor parallel" axis of this
+# architecture is the rotation-anchor dimension: anchors are independent in
+# the inter conv (the [b,p,n,a,k] weights and [b,p,a,k,c] features factor
+# per anchor), so sharding feats [b, p, a, c] over an 'anchor' mesh axis
+# splits the heaviest intermediates; XLA inserts the collectives at the
+# anchor-mixing points (intra conv, anchor pooling) automatically.
+# --------------------------------------------------------------------------
+
+_GLOBAL_MESH: Mesh | None = None
+
+
+def set_global_mesh(mesh: Mesh | None):
+    """Install the mesh consulted by `constrain_feats` (None disables)."""
+    global _GLOBAL_MESH
+    _GLOBAL_MESH = mesh
+
+
+def get_global_mesh() -> Mesh | None:
+    return _GLOBAL_MESH
+
+
+def constrain_feats(feats):
+    """Apply the canonical sharding to anchor-indexed features
+    [b, p, a, c]: batch over 'data', anchors over 'anchor' (when a 2-D
+    global mesh is installed and the anchor axis divides)."""
+    mesh = _GLOBAL_MESH
+    if mesh is None or 'anchor' not in mesh.axis_names:
+        return feats
+    n_anchor = dict(zip(mesh.axis_names, mesh.devices.shape))['anchor']
+    if n_anchor <= 1 or feats.ndim < 4 or feats.shape[2] % n_anchor != 0:
+        return feats
+    spec = P('data', None, 'anchor', *([None] * (feats.ndim - 3)))
+    return jax.lax.with_sharding_constraint(
+        feats, NamedSharding(mesh, spec))
