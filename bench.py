@@ -32,6 +32,7 @@ def bench_forward(batch=32, input_num=1024, kanchor=60, iters=20, warmup=3):
     # production precision: bf16 neighbor-feature stream + conv weights with
     # fp32 accumulation (parity tests run the fp32 default)
     so3conv.set_compute_dtype('bf16')
+    so3conv.set_remat(False)  # inference: no activation memory to save
 
     opt = default_opt(**{'model.model': 'cls_so3net_pn',
                          'model.input_num': input_num,

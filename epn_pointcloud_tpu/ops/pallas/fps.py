@@ -3,8 +3,10 @@
 FPS is inherently sequential over samples; under plain XLA each of the m-1
 iterations is a while-loop step with dispatch overhead (~0.33 ms/iter
 measured — 169 ms for one 1024->512 FPS). Here the whole loop runs inside one
-kernel with the cloud resident in VMEM (a 1024-point cloud is 12 KB), so an
-iteration is just a VPU min + argmax.
+kernel with ALL batch elements VMEM-resident (a 32x1024 cloud batch is only
+~400 KB), so an iteration is one batched VPU min + row-argmax. Grid cells run
+sequentially on TPU, so batching inside the kernel (rather than gridding over
+batch) divides the iteration count by the batch size.
 
 Semantics match the reference CUDA kernel (grouping_cuda_kernel.cu:351-466):
 first sample is index 0; points with squared norm <= 1e-3 are never selected.
@@ -20,51 +22,51 @@ from jax.experimental import pallas as pl
 
 
 def _kernel(xyz_ref, out_ref, *, n_sample: int, shadow_eps: float):
-    xyz = xyz_ref[0]                                    # [N, 3]
-    N = xyz.shape[0]
-    x = xyz[:, 0].reshape(1, N)
-    y = xyz[:, 1].reshape(1, N)
-    z = xyz[:, 2].reshape(1, N)
+    # coordinate-planes layout [B, 3, N]: a [B, N, 3] value would pad the
+    # 3-lane axis to 128 lanes (16 MB per copy at b32/n1024)
+    B, _, N = xyz_ref.shape
+    x = xyz_ref[:, 0, :]                                # [B, N]
+    y = xyz_ref[:, 1, :]
+    z = xyz_ref[:, 2, :]
     mag = x * x + y * y + z * z
-    valid = mag > shadow_eps                            # [1, N]
+    valid = mag > shadow_eps
     neg_inf = jnp.float32(-jnp.inf)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
 
-    M = out_ref.shape[2]
-    out_iota = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+    M = out_ref.shape[1]
+    out_iota = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
 
     def body(j, state):
-        temp, old, sel = state
-        x1 = jnp.sum(jnp.where(iota == old, x, 0.0))
-        y1 = jnp.sum(jnp.where(iota == old, y, 0.0))
-        z1 = jnp.sum(jnp.where(iota == old, z, 0.0))
+        temp, old, sel = state                          # old: [B, 1] int32
+        pick = iota == old                              # [B, N]
+        x1 = jnp.sum(jnp.where(pick, x, 0.0), axis=1, keepdims=True)
+        y1 = jnp.sum(jnp.where(pick, y, 0.0), axis=1, keepdims=True)
+        z1 = jnp.sum(jnp.where(pick, z, 0.0), axis=1, keepdims=True)
         d = (x - x1) ** 2 + (y - y1) ** 2 + (z - z1) ** 2
         temp = jnp.minimum(temp, d)
         cand = jnp.where(valid, temp, neg_inf)
-        best = jnp.max(cand)
-        # first index achieving the max (matches jnp.argmax semantics)
-        new = jnp.min(jnp.where(cand == best, iota, jnp.int32(N)))
+        best = jnp.max(cand, axis=1, keepdims=True)     # [B, 1]
+        # first index achieving the row max (matches jnp.argmax)
+        new = jnp.min(jnp.where(cand == best, iota, jnp.int32(N)),
+                      axis=1, keepdims=True)            # [B, 1]
         sel = jnp.where(out_iota == j, new, sel)
         return temp, new, sel
 
     _, _, sel = jax.lax.fori_loop(
         1, n_sample, body,
-        (jnp.full((1, N), jnp.inf, jnp.float32), jnp.int32(0),
-         jnp.zeros((1, M), jnp.int32)))
-    out_ref[0, 0, :] = sel[0]
+        (jnp.full((B, N), jnp.inf, jnp.float32),
+         jnp.zeros((B, 1), jnp.int32),
+         jnp.zeros((B, M), jnp.int32)))
+    out_ref[:] = sel
 
 
 def fps_pallas(xyz: jnp.ndarray, n_sample: int,
                shadow_eps: float = 1e-3, interpret: bool = False):
     """xyz [b, n, 3] f32 -> int32 idx [b, n_sample]."""
     B, N, _ = xyz.shape
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, n_sample=n_sample,
                           shadow_eps=float(shadow_eps)),
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, N, 3), lambda b: (b, 0, 0))],
-        out_specs=pl.BlockSpec((1, 1, n_sample), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, 1, n_sample), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, n_sample), jnp.int32),
         interpret=interpret,
-    )(xyz)
-    return out[:, 0, :]
+    )(jnp.swapaxes(xyz, 1, 2))

@@ -155,6 +155,17 @@ def get_compute_dtype():
     return _COMPUTE_DTYPE
 
 
+# Rematerialization of the per-chunk conv computation (saves activation
+# memory during training; identity for inference but can block XLA fusion,
+# so benchmarks/serving turn it off).
+_USE_REMAT = True
+
+
+def set_remat(flag: bool):
+    global _USE_REMAT
+    _USE_REMAT = bool(flag)
+
+
 # Pallas kernel toggle for the fused inter conv. Default OFF: the measured
 # XLA broadcast-multiply-reduce formulation is currently faster than the v1
 # Pallas kernel on this Mosaic version (6.9ms vs 37ms per anchor chunk at the
@@ -231,7 +242,7 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
         return jnp.einsum('bpakc,kcd->bpad', F.astype(cdt), W.astype(cdt),
                           preferred_element_type=jnp.float32)       # [b,p,ac,c2]
 
-    if remat:
+    if remat and _USE_REMAT:
         chunk_fn = jax.checkpoint(chunk_fn)
 
     # Unrolled loop over anchor chunks. XLA pipelines the chunks; with the
