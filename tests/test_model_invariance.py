@@ -1,0 +1,67 @@
+"""Capstone property test: the full classification model with max anchor
+pooling is exactly invariant under rotations by group elements, and the
+invariant descriptor model produces rotation-invariant descriptors (the
+promoted version of the reference's commented probes,
+trainer_modelnet.py:86-98)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from epn_pointcloud_tpu import models
+from epn_pointcloud_tpu.app.config import default_opt
+from epn_pointcloud_tpu.ops import camera, icosahedron as ico
+
+
+def test_cls_model_invariance_under_group_rotation():
+    opt = default_opt(**{'model.model': 'cls_so3net_pn',
+                         'model.input_num': 64, 'model.kanchor': 60,
+                         'model.flag': 'max'})
+    model = models.build_model_from(opt)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, (2, 64, 3)).astype(np.float32)
+    v = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), jnp.asarray(x))
+    logits, _ = model.apply(v, jnp.asarray(x), train=False)
+
+    g = ico.get_anchors_full()[23]
+    xr = (x @ g.T).astype(np.float32)
+    logits_r, _ = model.apply(v, jnp.asarray(xr), train=False)
+    a, b = np.asarray(logits), np.asarray(logits_r)
+    # Invariance is exact in exact arithmetic, but ball query keeps the
+    # first n neighbors with d^2 < r^2 — fp rounding of rotated coordinates
+    # flips membership of points sitting at a radius boundary (the reference
+    # CUDA kernel has the identical sensitivity). At this tiny 64-point /
+    # 2-neighbor config single flips are amplified, so assert agreement of
+    # the prediction and coarse agreement of the logits.
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 0.5, rel
+    np.testing.assert_array_equal(a.argmax(1), b.argmax(1))
+
+
+def test_inv_model_descriptor_invariance():
+    opt = default_opt(**{'model.model': 'inv_so3net_pn',
+                         'model.input_num': 1024, 'model.kanchor': 60,
+                         'model.search_radius': 0.4, 'model.flag': 'max'})
+    model = models.build_model_from(opt)
+    rng = np.random.RandomState(1)
+    x = (rng.uniform(-1, 1, (1, 1024, 3)) * 0.2).astype(np.float32)
+    v = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), jnp.asarray(x))
+    desc, _ = model.apply(v, jnp.asarray(x), train=False)
+
+    g = ico.get_anchors_full()[41]
+    xr = (x @ g.T).astype(np.float32)
+    desc_r, _ = model.apply(v, jnp.asarray(xr), train=False)
+    # descriptors are L2-normalized; require high cosine similarity
+    cos = float((np.asarray(desc) * np.asarray(desc_r)).sum(1))
+    assert cos > 0.999
+
+
+def test_camera_roundtrip():
+    K = camera.intrinsic_matrix(500, 500, 320, 240)
+    rng = np.random.RandomState(2)
+    pts = rng.rand(50, 3) + np.array([0, 0, 1.0])
+    px = camera.project(pts, K)
+    back = camera.unproject(px, pts[:, 2], K)
+    np.testing.assert_allclose(back, pts, atol=1e-9)
