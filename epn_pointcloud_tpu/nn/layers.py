@@ -243,7 +243,7 @@ class InterSO3Conv(fnn.Module):
     pooling: Optional[str] = None
     kanchor: int = 60
     fused: bool = True
-    anchor_chunk: int = 12
+    anchor_chunk: int = 20
     remat: bool = True
 
     @fnn.compact

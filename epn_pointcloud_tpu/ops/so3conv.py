@@ -184,7 +184,7 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                         kernels: jnp.ndarray, radius: float, sigma: float,
                         W: jnp.ndarray, lazy_sample: bool = True,
                         radius_expansion: float = 1.0,
-                        anchor_chunk: int = 12,
+                        anchor_chunk: int = 20,
                         remat: bool = True,
                         use_pallas: Optional[bool] = None):
     """Fused inter conv: grouping + anchor weights + neighbor contraction +
