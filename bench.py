@@ -14,6 +14,7 @@ Extra per-config numbers go to stderr; the JSON contract line is stdout.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -61,10 +62,61 @@ def bench_forward(batch=32, input_num=1024, kanchor=60, iters=20, warmup=3):
     return batch / dt, dt
 
 
+def bench_train(batch=12, input_num=1024, kanchor=60, iters=10):
+    """Training-step throughput at the reference training batch
+    (run_modelnet.py:10) — reported to stderr when BENCH_EXTRA=1."""
+    from functools import partial
+    import jax
+    import jax.numpy as jnp
+    from epn_pointcloud_tpu import losses, models
+    from epn_pointcloud_tpu.app.config import default_opt
+    from epn_pointcloud_tpu.parallel import create_train_state, make_lr_schedule
+
+    opt = default_opt(**{'model.model': 'cls_so3net_pn',
+                         'model.input_num': input_num,
+                         'model.kanchor': kanchor,
+                         'model.flag': 'attention'})
+    model = models.build_model_from(opt)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, input_num, 3).astype(np.float32))
+    label = jnp.asarray(rng.randint(0, 40, batch))
+    rlabel = jnp.asarray(rng.randint(0, kanchor, batch))
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), x)
+    state = create_train_state(model, variables, make_lr_schedule(1e-3))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, pc, label, rlabel):
+        def loss_fn(params):
+            (pred, feat), mut = state.apply_fn(
+                {'params': params, 'batch_stats': state.batch_stats}, pc,
+                None, train=True, mutable=['batch_stats'],
+                rngs={'dropout': jax.random.PRNGKey(0)})
+            loss, aux = losses.attention_cross_entropy(pred, label, feat,
+                                                       rlabel)
+            return loss, (aux, mut)
+        grads, (aux, mut) = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state.replace(batch_stats=mut['batch_stats']), aux['cls_loss']
+
+    state, loss = train_step(state, x, label, rlabel)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = train_step(state, x, label, rlabel)
+    float(loss)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt, dt
+
+
 def main():
     clouds_per_sec, step_time = bench_forward()
     print(f'[bench] step_time={step_time * 1e3:.2f} ms  '
           f'throughput={clouds_per_sec:.1f} clouds/s', file=sys.stderr)
+    if os.environ.get('BENCH_EXTRA'):
+        tput, dt = bench_train()
+        print(f'[bench-extra] train step_time={dt * 1e3:.1f} ms  '
+              f'throughput={tput:.1f} clouds/s (b12, attention)',
+              file=sys.stderr)
     print(json.dumps({
         'metric': 'modelnet40_cls_60anchor_b32_1024pt_inference_throughput',
         'value': round(clouds_per_sec, 2),
