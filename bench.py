@@ -108,6 +108,39 @@ def bench_train(batch=12, input_num=1024, kanchor=60, iters=10):
     return batch / dt, dt
 
 
+def bench_descriptor_extraction(batch=48, input_num=1024, kanchor=60,
+                                iters=10):
+    """3DMatch patch-descriptor extraction throughput (BASELINE configs[3]:
+    inv_so3net_pn, radius-0.4 patches)."""
+    import jax
+    import jax.numpy as jnp
+    from epn_pointcloud_tpu import models
+    from epn_pointcloud_tpu.app.config import default_opt
+
+    opt = default_opt(**{'model.model': 'inv_so3net_pn',
+                         'model.input_num': input_num,
+                         'model.kanchor': kanchor,
+                         'model.search_radius': 0.4,
+                         'model.flag': 'attention'})
+    model = models.build_model_from(opt)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray((rng.randn(batch, input_num, 3) * 0.2).astype(np.float32))
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def fwd(x):
+        return model.apply(variables, x, train=False)[0]
+
+    fwd(x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(x)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt, dt
+
+
 def main():
     clouds_per_sec, step_time = bench_forward()
     print(f'[bench] step_time={step_time * 1e3:.2f} ms  '
@@ -116,6 +149,10 @@ def main():
         tput, dt = bench_train()
         print(f'[bench-extra] train step_time={dt * 1e3:.1f} ms  '
               f'throughput={tput:.1f} clouds/s (b12, attention)',
+              file=sys.stderr)
+        dput, ddt = bench_descriptor_extraction()
+        print(f'[bench-extra] 3dmatch descriptor extraction '
+              f'{dput:.1f} patches/s ({ddt * 1e3:.1f} ms @ b48)',
               file=sys.stderr)
     print(json.dumps({
         'metric': 'modelnet40_cls_60anchor_b32_1024pt_inference_throughput',
