@@ -14,7 +14,7 @@ from scipy.spatial import cKDTree
 
 from ...ops.ply import load_ply
 from ..pc import uniform_resample_np, voxel_downsample_np
-from .fpfh import compute_fpfh, estimate_normals
+from .fpfh import compute_fpfh
 from .tool import Config, test_scenes_overlap
 
 

@@ -6,9 +6,7 @@ after the GT transform, recall = mean over GT pairs of
 
 from __future__ import annotations
 
-import glob
 import os
-from multiprocessing import Pool
 from os.path import join
 
 import numpy as np

@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops import icosahedron
-
 
 def _softmax(x, axis):
     x = x - x.max(axis=axis, keepdims=True)

@@ -10,13 +10,10 @@ All functions are pure jnp and jit-safe; each returns (loss, aux_dict).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
-from .ops.rotation import (acos_safe, angle_from_R, mean_angular_error,
+from .ops.rotation import (angle_from_R, mean_angular_error,
                            rotation_from_ortho6d, rotation_from_quaternion,
                            so3_mean)
 

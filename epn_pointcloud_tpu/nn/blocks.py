@@ -6,10 +6,9 @@ Rebuild of SPConvNets/utils/base_so3conv.py:32-215.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 from flax import linen as fnn
 
 from ..ops import sampling

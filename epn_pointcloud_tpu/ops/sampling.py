@@ -126,8 +126,11 @@ def ball_query(query: jnp.ndarray, support: jnp.ndarray, radius: float,
     # sort instead of the serialized scatter a positional write needs.
     kidx = jnp.arange(n, dtype=jnp.int32)
     key = jnp.where(hit, -kidx[None, None, :], -jnp.int32(n))
-    topk, _ = jax.lax.top_k(key, n_sample)                       # [b,m,ns]
+    k_eff = min(n_sample, n)  # n_sample may exceed the support size
+    topk, _ = jax.lax.top_k(key, k_eff)                          # [b,m,k_eff]
     out = jnp.where(topk > -n, -topk, 0).astype(jnp.int32)
+    if k_eff < n_sample:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, n_sample - k_eff)))
 
     cnt = jnp.minimum(hit.sum(axis=-1), n_sample)                # [b,m]
 

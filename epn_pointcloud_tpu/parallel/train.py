@@ -8,9 +8,8 @@ constant.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
-import jax
 import optax
 from flax import core
 from flax import struct

@@ -45,7 +45,9 @@ def test_inv_model_descriptor_invariance():
                          'model.search_radius': 0.4, 'model.flag': 'max'})
     model = models.build_model_from(opt)
     rng = np.random.RandomState(1)
-    x = (rng.uniform(-1, 1, (1, 1024, 3)) * 0.2).astype(np.float32)
+    # the 1024-pt builder config accepts any point count at run time; 256
+    # points keeps the CPU compile quick
+    x = (rng.uniform(-1, 1, (1, 256, 3)) * 0.2).astype(np.float32)
     v = jax.jit(lambda r, x: model.init(r, x, train=False))(
         jax.random.PRNGKey(0), jnp.asarray(x))
     desc, _ = model.apply(v, jnp.asarray(x), train=False)
