@@ -36,9 +36,20 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a pytree of host arrays with batch axis sharded."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch)
+    """Device-put a pytree of host arrays with batch axis sharded.
+
+    Leaves whose leading axis does not divide the 'data' axis size (short
+    final eval batches) are replicated instead — XLA still computes the
+    right answer, just without the batch split for that step.
+    """
+    n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get('data', 1)
+
+    def put(x):
+        if x.ndim == 0 or x.shape[0] % max(n_data, 1) != 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(tree, mesh: Mesh):

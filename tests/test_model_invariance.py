@@ -19,7 +19,13 @@ def test_cls_model_invariance_under_group_rotation():
                          'model.flag': 'max'})
     model = models.build_model_from(opt)
     rng = np.random.RandomState(0)
-    x = rng.uniform(-1, 1, (2, 64, 3)).astype(np.float32)
+    # Ball query keeps the first n support points with d^2 < r^2; a point at
+    # a radius boundary can flip membership under fp rounding of rotated
+    # coordinates (the reference CUDA kernel has the identical sensitivity).
+    # Shrinking the cloud well inside every query radius makes each
+    # neighborhood "the first n in index order" — rotation-independent — so
+    # the group-invariance property is exact up to fp accumulation order.
+    x = (0.05 * rng.uniform(-1, 1, (2, 64, 3))).astype(np.float32)
     v = jax.jit(lambda r, x: model.init(r, x, train=False))(
         jax.random.PRNGKey(0), jnp.asarray(x))
     logits, _ = model.apply(v, jnp.asarray(x), train=False)
@@ -28,14 +34,8 @@ def test_cls_model_invariance_under_group_rotation():
     xr = (x @ g.T).astype(np.float32)
     logits_r, _ = model.apply(v, jnp.asarray(xr), train=False)
     a, b = np.asarray(logits), np.asarray(logits_r)
-    # Invariance is exact in exact arithmetic, but ball query keeps the
-    # first n neighbors with d^2 < r^2 — fp rounding of rotated coordinates
-    # flips membership of points sitting at a radius boundary (the reference
-    # CUDA kernel has the identical sensitivity). At this tiny 64-point /
-    # 2-neighbor config single flips are amplified, so assert agreement of
-    # the prediction and coarse agreement of the logits.
     rel = np.linalg.norm(a - b) / np.linalg.norm(a)
-    assert rel < 0.5, rel
+    assert rel < 1e-2, rel
     np.testing.assert_array_equal(a.argmax(1), b.argmax(1))
 
 
