@@ -193,13 +193,16 @@ class IntraSO3Conv(fnn.Module):
     adjacency, then the learned conv matmul (ref: so3conv/modules.py:177-200).
     Only valid for kanchor == 60.
 
-    Computed as ONE dense GEMM: the static one-hot group adjacency
-    M[x, a, k] = [trace_idx[a, k] == x] is folded into the learned weight,
-      U[x, c1, a, c2] = sum_k M[x, a, k] W[k, c1, c2]
-      out[b, p, a, c2] = sum_{x, c1} f[b, p, x, c1] U[x, c1, a, c2]
-    — 5x the MACs of the sparse gather form (12/60 density) but all on the
-    MXU; anchor-axis gathers lower to while-loops of dynamic slices on TPU
-    (~300 ms/step measured across the model vs ~20 ms for this GEMM)."""
+    Computed as TWO dense GEMMs (anchor-axis gathers lower to while-loops of
+    dynamic slices on TPU — ~300 ms/step measured across the model):
+      stage 1 (the true MACs, per input anchor x):
+        Y[b, p, x, k, c2] = sum_c1 f[b, p, x, c1] W[k, c1, c2]
+      stage 2 (anchor mixing via the static one-hot group adjacency
+      M[x, k, a] = [trace_idx[a, k] == x]):
+        out[b, p, a, c2] = sum_{x, k} Y[b, p, x, k, c2] M[x, k, a]
+    Stage 2 pays 60/12 one-hot density as extra MXU MACs but only ~60/c1 of
+    stage 1 — ~1.2x the sparse-form MACs overall, vs 5x for the previous
+    single-GEMM formulation that folded M into W (~55 -> ~15 ms/step)."""
     dim_in: int
     dim_out: int
 
@@ -214,8 +217,9 @@ class IntraSO3Conv(fnn.Module):
         from ..ops import so3conv as so3f
         cdt = so3f.get_compute_dtype()
         M = jnp.asarray(_intra_onehot_const(), dtype=cdt)   # [x, a, k]
-        U = jnp.einsum('xak,kcd->xcad', M, W.astype(cdt))
-        out = jnp.einsum('bpxc,xcad->bpad', x.feats.astype(cdt), U,
+        Y = jnp.einsum('bpxc,kcd->bpxkd', x.feats.astype(cdt),
+                       W.astype(cdt))
+        out = jnp.einsum('bpxkd,xak->bpad', Y.astype(cdt), M,
                          preferred_element_type=jnp.float32)
         from ..parallel.mesh import constrain_feats
         out = constrain_feats(out)

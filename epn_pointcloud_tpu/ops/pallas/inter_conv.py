@@ -1,38 +1,47 @@
 """Pallas TPU kernel: fused SO(3) inter-convolution core (block-diagonal MXU
-formulation).
+formulation, v2).
 
-Computes, tile-resident in VMEM (never materializing the [b,p,n,a,k] weight /
-[b,p,a,k,c] feature intermediates in HBM):
+Computes, tile-resident in VMEM (never materializing the [b,p,n,a,k] anchor
+weights in HBM):
 
-    d2[t,n,k] = |gx[t,n]|^2 + |kappa_k|^2 - 2 gx[t,n] . (R_a kappa_k)
-    w[t,n,k]  = relu(1 - d2 / sigma)
-    F[t,a,k,c] = sum_n w[t,n,k] * G[t,n,a,c]          (anchor a on the grid)
+    d2[p,n,a,k] = |gx[p,n]|^2 + |kappa_k|^2 - 2 gx[p,n] . (R_a kappa_k)
+    w = relu(1 - d2 / sigma)
+    F[p,a,k,c] = sum_n w[p,n,a,k] * G[p,n,a,c]
 
 matching the reference inter conv math (vgtk/vgtk/so3conv/functional.py:
 180-218 anchor weights + spconv/functional.py:372-390 grouping). The
 downstream (k*c1) x c2 learned contraction (so3conv/modules.py:48-55) stays
 outside as a well-shaped XLA GEMM.
 
-TPU mapping: the neighbor reduction is a too-small GEMM (M=K_k, K=N, N=C1)
-for the MXU on its own; here T' points share one GEMM through a BLOCK-DIAGONAL
-left operand
+Why a kernel at all: per point the neighbor reduction is a [K, N] x [N, C]
+GEMM with K~24, N~16-32 — far too small to tile the 128x128 MXU, so XLA
+either emits pathological tiny batched GEMMs or a VPU mul-reduce (the
+previous default; VPU-bound at ~250 ms/step on the flagship model). Here
+TP = 128/N points share one large GEMM through a block-diagonal left operand
 
-    BD[(t,k), (t',n)] = [t == t'] * w[t,n,k]           ([T'*K, T'*N=128])
-    F_sub = BD @ G_sub                                  ([T'*K, C1])
+    BD[(t,k), (t',n)] = [t == t'] * w[t,n,k]          ([TP*K~, 128])
+    F_sub             = BD @ G_sub                     ([TP*K~, C])
 
-with the kernel-point norm folded into a 4th coordinate so no transposes or
-lane reshapes are needed anywhere:
+and BD itself comes out of ONE small MXU dot in exactly that layout, with no
+transposes, concats, or lane reshapes anywhere: fold the squared norms into
+an 8-vector inner product
 
-    d2 - |gx|^2 = [gx, 1] . [-2 R_a kappa, |kappa|^2]^T.
+    gx8 = [x, y, z, |gx|^2, 1, 0, 0, 0]          (lanes = points*neighbors)
+    rk8 = [-2 R_a kappa,  1, |kappa|^2, 0, 0, 0] (pre-tiled TP x along rows)
+    d2[(t,k), (t',n)] = rk8[(t,k)] . gx8[(t',n)]
 
-STATUS: WIP — correct in interpret mode; on this image's Mosaic version the
-compiled kernel both mis-executes (reshape/slice layout issue under the
-fori_loop form) and runs far below the XLA mul-reduce formulation, so the
-default path is the XLA one (ops/so3conv.py, _USE_PALLAS = False). Revisit
-with a newer Mosaic.
+Padding: K -> K~ (multiple of 128/TP so TP*K~ is 128-aligned) with sentinel
+rows rk8 = [0,0,0,0,BIG,...] => d2 = BIG => w = 0; N -> N~ (divisor of 128)
+with shadow gather indices => G rows are zero => zero contribution.
 
-Gradients: parameters only receive gradients through G — w depends only on
-input coordinates — so the custom VJP recomputes w and evaluates dG in XLA.
+Every slice in the kernel is static (Python loops over subtiles and anchors);
+Mosaic pitfalls from v1 (dynamic value slicing under fori_loop, 4-lane
+operands) are gone.
+
+Gradients: parameters receive gradients only through G — w depends only on
+input coordinates — so the custom VJP uses a mirrored Pallas kernel that
+builds BD^T (the same dot with the operands' roles swapped) and computes
+dG_sub = BD^T @ dF_sub.
 """
 
 from __future__ import annotations
@@ -41,128 +50,266 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _pick_tile(p: int, n: int, k: int, c1: int, itemsize: int) -> int:
-    budget = 6 * 1024 * 1024
-    per_point = (2 * n * c1 * itemsize    # G tile (double-buffered)
-                 + k * c1 * 4             # F out block
-                 + 2 * k * 128 * 4        # BD / D2 subtile temporaries
-                 + n * 4 * 4)
-    t = max(1, min(256, budget // max(per_point, 1)))
-    while p % t != 0:
-        t -= 1
-    return t
+_BIG = 1e9
 
 
-def _kernel(gx_ref, g_ref, rk4_ref, out_ref, *, sigma: float):
-    _, T, N, _ = gx_ref.shape
-    rk4 = rk4_ref[:]                                # [K, 4]
-    K = rk4.shape[0]
-    C1 = g_ref.shape[-1]
-    gdt = g_ref.dtype
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
-    TP = max(1, 128 // N)                           # points per block-diag GEMM
-    while T % TP != 0:
-        TP //= 2
-    R, S = TP * K, TP * N                           # BD shape per subtile
 
-    # static block-diagonal mask [R, S]: row t == col t'
-    row_t = jax.lax.broadcasted_iota(jnp.int32, (R, S), 0) // K
-    col_t = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1) // N
-    mask = (row_t == col_t).astype(jnp.float32)
+def plan(n_neighbor: int, k: int):
+    """(N~, TP, K~, R) for a neighbor count and kernel-point count.
 
-    # rk4 tiled per subtile point: [R, 4] = repeat rk4 TP times along rows
-    rk4_tiled = jnp.concatenate([rk4] * TP, axis=0) if TP > 1 else rk4
+    K~ only needs sublane (8) alignment — MXU pass count is identical for
+    M in (tp*K~, next multiple of 128), so the smaller K~ wins: it shrinks
+    the F tensor and the downstream learned GEMM by the pad fraction."""
+    nt = 16
+    while nt < n_neighbor:
+        nt *= 2
+    if nt > 128:
+        raise ValueError(f'n_neighbor {n_neighbor} > 128 unsupported')
+    tp = 128 // nt
+    kt = _round_up(k, 8)
+    return nt, tp, kt, tp * kt
 
+
+def supported(n_neighbor: int, c_in: int) -> bool:
+    """Shape gate: the kernel pays off (and tiles cleanly) only for real
+    channel counts; tiny-C layers (block0 occupancy input) stay on the XLA
+    mul-reduce path."""
+    return n_neighbor <= 128 and c_in >= 32
+
+
+def make_rk8(rk: jnp.ndarray, k2: jnp.ndarray, tp: int, kt: int,
+             transpose_for_bwd: bool = False) -> jnp.ndarray:
+    """[AC, K, 3] rotated kernels + [K] squared norms -> [AC, 8, TP*K~]
+    pre-tiled distance-fold operand (see module docstring)."""
+    ac, k, _ = rk.shape
+    base = jnp.concatenate([
+        -2.0 * rk,
+        jnp.ones((ac, k, 1), rk.dtype),
+        jnp.broadcast_to(k2.reshape(1, k, 1), (ac, k, 1)),
+        jnp.zeros((ac, k, 3), rk.dtype),
+    ], axis=-1)                                            # [AC, K, 8]
+    if kt > k:
+        # sentinel: d2 = gx2 + BIG for every neighbor (incl. pad rows, whose
+        # gx2 slot is itself BIG) => w = 0 everywhere on pad kernel rows
+        pad = (jnp.zeros((ac, kt - k, 8), rk.dtype)
+               .at[:, :, 3].set(1.0).at[:, :, 4].set(_BIG))
+        base = jnp.concatenate([base, pad], axis=1)        # [AC, K~, 8]
+    tiled = jnp.tile(base, (1, tp, 1))                     # [AC, TP*K~, 8]
+    return jnp.transpose(tiled, (0, 2, 1))                 # [AC, 8, TP*K~]
+
+
+def make_gx8(grouped_xyz: jnp.ndarray, nt: int) -> jnp.ndarray:
+    """[B, P, N, 3] local coords -> [B, 8, P*N~] distance-fold operand."""
+    b, p, n, _ = grouped_xyz.shape
+    gx2 = jnp.sum(grouped_xyz * grouped_xyz, axis=-1, keepdims=True)
+    gx8 = jnp.concatenate([
+        grouped_xyz, gx2,
+        jnp.ones((b, p, n, 1), grouped_xyz.dtype),
+        jnp.zeros((b, p, n, 3), grouped_xyz.dtype),
+    ], axis=-1)                                            # [B, P, N, 8]
+    if nt > n:
+        # pad rows carry |gx|^2 = BIG so every kernel point sees d2 = BIG
+        # => w = 0 (exact zero contribution in forward AND backward)
+        pad = jnp.zeros((b, p, nt - n, 8), gx8.dtype).at[..., 3].set(_BIG)
+        gx8 = jnp.concatenate([gx8, pad], axis=2)
+    return jnp.transpose(gx8.reshape(b, p * nt, 8), (0, 2, 1))
+
+
+def _mask(tp: int, kt: int, nt: int, transposed: bool = False):
+    """Block-diagonal mask [R, S] (or [S, R]) built from in-kernel iota."""
+    r, s = tp * kt, tp * nt
+    shape = (s, r) if transposed else (r, s)
+    kdim, ndim = (1, 0) if transposed else (0, 1)
+    row_t = jax.lax.broadcasted_iota(jnp.int32, shape, kdim) // kt
+    col_t = jax.lax.broadcasted_iota(jnp.int32, shape, ndim) // nt
+    return (row_t == col_t).astype(jnp.float32)
+
+
+def _precision(dtype):
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def _fwd_kernel(gx8_ref, g_ref, rk8_ref, out_ref, *, sigma, tp, kt, nt,
+                n_sub, ac, c):
+    s = tp * nt
     inv_sigma = jnp.float32(1.0 / sigma)
-    ones = jnp.ones((S, 1), jnp.float32)
+    mask = _mask(tp, kt, nt)
+    gdt = g_ref.dtype
+    prec = _precision(gdt)
+    gx8 = gx8_ref[0]                                           # [8, T*N~]
+    for a in range(ac):
+        # one wide K=8 dot per anchor: d2 for every subtile at once
+        d2_all = jax.lax.dot_general(
+            rk8_ref[a], gx8, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                                    # [R, T*N~]
+        for st in range(n_sub):
+            d2 = d2_all[:, st * s:(st + 1) * s]                # [R, S]
+            bd = (jax.nn.relu(1.0 - d2 * inv_sigma) * mask).astype(gdt)
+            # G is neighbor-major with flat (anchor, channel) lanes — the
+            # layout the big row-gather produces with zero reshuffling
+            g_sub = g_ref[0, st * s:(st + 1) * s, a * c:(a + 1) * c]
+            f = jax.lax.dot_general(
+                bd, g_sub, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)                                # [R, C]
+            out_ref[0, a, st * tp:(st + 1) * tp] = (
+                f.reshape(tp, kt, c).astype(out_ref.dtype))
 
-    def body(st, _):
-        gx_sub = gx_ref[0, pl.ds(st * TP, TP)].reshape(S, 3)
-        gx4 = jnp.concatenate([gx_sub, ones], axis=1)          # [S, 4]
-        # kappa^2 - 2 gx . (R_a kappa), for all (t,k) x (t',n)
-        cross = jax.lax.dot_general(
-            rk4_tiled, gx4, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                # [R, S]
-        gx2 = jnp.sum(gx_sub * gx_sub, axis=-1).reshape(1, S)
-        w = jax.nn.relu(1.0 - (gx2 + cross) * inv_sigma)
-        bd = (w * mask).astype(gdt)                            # [R, S]
 
-        g_sub = g_ref[0, 0, pl.ds(st * TP, TP)].reshape(S, C1)
-        f_sub = jax.lax.dot_general(
-            bd, g_sub, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # [R, C1]
-        out_ref[0, pl.ds(st * TP, TP), 0] = f_sub.reshape(TP, K, C1)
-        return 0
+def _bwd_kernel(gx8_ref, df_ref, rk8_ref, dg_ref, *, sigma, tp, kt, nt,
+                n_sub, ac, c):
+    s = tp * nt
+    r = tp * kt
+    inv_sigma = jnp.float32(1.0 / sigma)
+    mask_t = _mask(tp, kt, nt, transposed=True)                # [S, R]
+    gdt = dg_ref.dtype
+    prec = _precision(gdt)
+    gx8 = gx8_ref[0]                                           # [8, T*N~]
+    for a in range(ac):
+        d2t_all = jax.lax.dot_general(
+            gx8, rk8_ref[a], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                                    # [T*N~, R]
+        for st in range(n_sub):
+            d2t = d2t_all[st * s:(st + 1) * s, :]              # [S, R]
+            bdt = (jax.nn.relu(1.0 - d2t * inv_sigma) * mask_t).astype(gdt)
+            df_sub = df_ref[0, a, st * tp:(st + 1) * tp]       # [TP, K~, C]
+            df2 = df_sub.reshape(r, c).astype(gdt)
+            dg = jax.lax.dot_general(
+                bdt, df2, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)                                # [S, C]
+            dg_ref[0, st * s:(st + 1) * s, a * c:(a + 1) * c] = (
+                dg.astype(dg_ref.dtype))
 
-    jax.lax.fori_loop(0, T // TP, body, 0)
+
+def _pick_n_sub(p: int, tp: int, kt: int, nt: int, c: int, ac: int,
+                g_itemsize: int, o_itemsize: int) -> int:
+    """Subtiles per block under a ~6 MB double-buffered VMEM budget."""
+    budget = 6 * 1024 * 1024
+    per_sub = (8 * tp * nt * 4                 # gx8 block rows
+               + ac * tp * nt * c * g_itemsize  # G block
+               + ac * tp * kt * c * o_itemsize)  # out block
+    n_sub = max(1, budget // (2 * per_sub))
+    while (p // tp) % n_sub != 0:
+        n_sub -= 1
+    return n_sub
 
 
-def _pallas_F(gx, G, rk, k2, sigma, interpret=False):
-    """gx [B,P,N,3] f32; G [B,AC,P,N,C1] (anchor-major gathered features);
-    rk [AC*K,3] f32; k2 [1,K] f32 -> F [B,P,AC,K,C1] f32."""
-    B, P, N, _ = gx.shape
-    AC, C1 = G.shape[1], G.shape[4]
-    K = k2.shape[1]
-    T = _pick_tile(P, N, K, C1, G.dtype.itemsize)
-    # fold |kappa|^2 into a 4th coordinate: rk4 = [-2 rk, k2]
-    rk4 = jnp.concatenate(
-        [-2.0 * rk.reshape(AC, K, 3),
-         jnp.broadcast_to(k2[0][None, :, None], (AC, K, 1))], axis=-1)
-    rk4 = rk4.reshape(AC * K, 4)
+def _call(kernel, gx8, gdata, rk8, out_shape, sigma, tp, kt, nt, ac,
+          gdata_p_dim, out_p_dim, interpret):
+    """Shared pallas_call wiring for the forward and backward kernels.
+
+    The neighbor-major tensor (G forward / dG backward) is
+    [B, P*N~, NA*C] — flat (anchor, channel) lanes, exactly the row-gather
+    layout; the kernel-point tensor (F forward / dF backward) is
+    [B, NA, P, K~, C]. Which operand is which swaps between forward and
+    backward ({gdata,out}_p_dim 'flat' / 'tiled'). Anchors are covered in
+    chunks of `ac` by a third grid dimension whose index_map offsets the
+    lane blocks — no anchor-chunk slicing/copies at the XLA level."""
+    b = gx8.shape[0]
+    na = rk8.shape[0]
+    assert na % ac == 0, (na, ac)
+    c = (gdata.shape[-1] // na if gdata_p_dim == 'flat'
+         else gdata.shape[-1])
+    p = gx8.shape[2] // nt
+    n_sub = _pick_n_sub(p, tp, kt, nt, c, ac, gdata.dtype.itemsize,
+                        out_shape.dtype.itemsize)
+    t = n_sub * tp
+    s = tp * nt
+
+    def spec_flat():
+        return pl.BlockSpec((1, t * nt, ac * c),
+                            lambda bb, pt, ci: (bb, pt, ci))
+
+    def spec_tiled():
+        return pl.BlockSpec((1, ac, t, kt, c),
+                            lambda bb, pt, ci: (bb, ci, pt, 0, 0))
+
+    gdata_spec = spec_flat() if gdata_p_dim == 'flat' else spec_tiled()
+    out_spec = spec_flat() if out_p_dim == 'flat' else spec_tiled()
 
     return pl.pallas_call(
-        functools.partial(_kernel, sigma=float(sigma)),
-        grid=(B, P // T, AC),
+        functools.partial(kernel, sigma=float(sigma), tp=tp, kt=kt, nt=nt,
+                          n_sub=n_sub, ac=ac, c=c),
+        grid=(b, p // t, na // ac),
         in_specs=[
-            pl.BlockSpec((1, T, N, 3), lambda b, p, a: (b, p, 0, 0)),
-            pl.BlockSpec((1, 1, T, N, C1), lambda b, p, a: (b, a, p, 0, 0)),
-            pl.BlockSpec((K, 4), lambda b, p, a: (a, 0)),
+            pl.BlockSpec((1, 8, t * nt), lambda bb, pt, ci: (bb, 0, pt)),
+            gdata_spec,
+            pl.BlockSpec((ac, 8, tp * kt), lambda bb, pt, ci: (ci, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, T, 1, K, C1),
-                               lambda b, p, a: (b, p, a, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, P, AC, K, C1), jnp.float32),
-        compiler_params=None if interpret else pltpu.CompilerParams(
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p * na * (tp * kt) * nt * c,
+            bytes_accessed=(gdata.size * gdata.dtype.itemsize
+                            + int(np.prod(out_shape.shape))
+                            * out_shape.dtype.itemsize),
+            transcendentals=0),
         interpret=interpret,
-    )(gx, G, rk4)
+    )(gx8, gdata, rk8)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def fused_neighbor_conv(gx, G, rk, k2, sigma, interpret=False):
-    """F[b,p,a,k,c] = sum_n relu(1 - d^2/sigma) * G — Pallas forward.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def fused_neighbor_conv(gx8, G, rk8, sigma, tp, kt, nt, ac=None,
+                        interpret=False):
+    """F[b,a,p,k~,c] = sum_n relu(1 - d2/sigma) * G — Pallas block-diag MXU.
 
-    G is anchor-major [B, AC, P, N, C1] (gather the support features from a
-    [b, a, q, c]-transposed tensor to produce this layout directly)."""
-    return _pallas_F(gx, G, rk, k2, sigma, interpret)
-
-
-def compute_weights(gx, rk, k2, sigma):
-    """w [B,P,N,AC,K] in plain XLA (backward pass / testing oracle)."""
-    K = k2.shape[1]
-    ACK = rk.shape[0]
-    gx2 = jnp.sum(gx * gx, axis=-1)
-    cross = jnp.einsum('bpnc,mc->bpnm', gx, rk)
-    k2_full = jnp.broadcast_to(k2[0][None, :], (ACK // K, K)).reshape(ACK)
-    d2 = gx2[..., None] + k2_full[None, None, None, :] - 2.0 * cross
-    w = jax.nn.relu(1.0 - d2 / sigma)
-    return w.reshape(gx.shape[0], gx.shape[1], gx.shape[2], ACK // K, K)
+    gx8 [B, 8, P*N~] (make_gx8); G [B, P*N~, NA*C] neighbor-major gathered
+    features (shadow-padded to N~; flat anchor-channel lanes — the layout a
+    single row-gather from [b, q, na*c] support features produces);
+    rk8 [NA, 8, TP*K~] (make_rk8); ac = anchors per grid step (VMEM knob,
+    divides NA; default NA).
+    Returns F [B, NA, P, K~, C] in G's dtype (rows k >= K are zero).
+    """
+    return _fused_fwd(gx8, G, rk8, sigma, tp, kt, nt, ac, interpret)[0]
 
 
-def _fwd(gx, G, rk, k2, sigma, interpret=False):
-    return _pallas_F(gx, G, rk, k2, sigma, interpret), (gx, G, rk, k2)
+def _fused_fwd(gx8, G, rk8, sigma, tp, kt, nt, ac, interpret):
+    b, na = G.shape[0], rk8.shape[0]
+    p = gx8.shape[2] // nt
+    c = G.shape[-1] // na
+    out_shape = jax.ShapeDtypeStruct((b, na, p, kt, c), G.dtype)
+    f = _call(_fwd_kernel, gx8, G, rk8, out_shape, sigma, tp, kt, nt,
+              ac or na, gdata_p_dim='flat', out_p_dim='tiled',
+              interpret=interpret)
+    return f, (gx8, rk8)
 
 
-def _bwd(sigma, interpret, res, dF):
-    gx, G, rk, k2 = res
-    w = compute_weights(gx, rk, k2, sigma)          # [B,P,N,AC,K]
-    # dG[b,a,p,n,c] = sum_k w[b,p,n,a,k] dF[b,p,a,k,c]
-    dG = (w[..., None] * dF[:, :, None]).sum(axis=4)     # [B,P,N,AC,C1]
-    dG = jnp.transpose(dG, (0, 3, 1, 2, 4)).astype(G.dtype)
-    return None, dG, None, None
+def _fused_bwd(sigma, tp, kt, nt, ac, interpret, res, df):
+    gx8, rk8 = res
+    b, na, p, _, c = df.shape
+    gdt = df.dtype
+    dg_shape = jax.ShapeDtypeStruct((b, p * nt, na * c), gdt)
+    dg = _call(_bwd_kernel, gx8, df.astype(gdt), rk8, dg_shape, sigma, tp,
+               kt, nt, ac or na, gdata_p_dim='tiled', out_p_dim='flat',
+               interpret=interpret)
+    return jnp.zeros_like(gx8), dg, jnp.zeros_like(rk8)
 
 
-fused_neighbor_conv.defvjp(_fwd, _bwd)
+fused_neighbor_conv.defvjp(_fused_fwd, _fused_bwd)
+
+
+def reference_F(grouped_xyz, G, rk, k2, sigma, kt):
+    """Plain-XLA oracle of the kernel contract (testing): returns
+    [B, AC, P, K~, C] from gx [B,P,N,3], G [B,AC,P,N,C], rk [AC,K,3]."""
+    gx2 = jnp.sum(grouped_xyz ** 2, axis=-1)
+    cross = jnp.einsum('bpnc,akc->bpnak', grouped_xyz, rk)
+    d2 = gx2[..., None, None] + k2[None, None, None, None, :] - 2.0 * cross
+    w = jax.nn.relu(1.0 - d2 / sigma)                     # [B,P,N,A,K]
+    f = jnp.einsum('bpnak,bapnc->bapkc', w, G)
+    k = rk.shape[1]
+    if kt > k:
+        f = jnp.pad(f, ((0, 0), (0, 0), (0, 0), (0, kt - k), (0, 0)))
+    return f

@@ -39,8 +39,12 @@ def gather_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """
     b = feats.shape[0]
     flat_idx = idx.reshape(b, -1)
+    # indices are in bounds by construction (ball query / FPS emit valid
+    # support indices; the shadow index is the last padded row) — skipping
+    # the out-of-bounds select halves the gather cost on TPU
     out = jnp.take_along_axis(
-        feats, flat_idx.reshape((b, -1) + (1,) * (feats.ndim - 2)), axis=1)
+        feats, flat_idx.reshape((b, -1) + (1,) * (feats.ndim - 2)), axis=1,
+        mode='promise_in_bounds')
     return out.reshape(idx.shape + feats.shape[2:])
 
 
@@ -138,7 +142,8 @@ def ball_query(query: jnp.ndarray, support: jnp.ndarray, radius: float,
     s = jnp.arange(n_sample)[None, None, :]
     cnt_safe = jnp.maximum(cnt, 1)[..., None]
     src = jnp.where(s < cnt[..., None], s, s % cnt_safe)
-    return jnp.take_along_axis(out, src, axis=-1)
+    src = jnp.broadcast_to(src, out.shape[:2] + (n_sample,))
+    return jnp.take_along_axis(out, src, axis=-1, mode='promise_in_bounds')
 
 
 # ---------------------------------------------------------------------------

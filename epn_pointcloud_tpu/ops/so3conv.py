@@ -166,12 +166,12 @@ def set_remat(flag: bool):
     _USE_REMAT = bool(flag)
 
 
-# Pallas kernel toggle for the fused inter conv. Default OFF: the measured
-# XLA broadcast-multiply-reduce formulation is currently faster than the v1
-# Pallas kernel on this Mosaic version (6.9ms vs 37ms per anchor chunk at the
-# block0 reference shape) and bit-correct; the kernel is kept for further
-# iteration (see ops/pallas/inter_conv.py).
-_USE_PALLAS = False
+# Pallas kernel toggle for the fused inter conv: the block-diagonal MXU
+# kernel (ops/pallas/inter_conv.py) replaces the VPU-bound XLA
+# broadcast-multiply-reduce for layers it supports (n_neighbor <= 128,
+# c_in >= 32); measured 1.6-12x per layer on TPU v5e. Interpret mode keeps
+# CPU tests exact.
+_USE_PALLAS = True
 
 
 def set_use_pallas(flag: bool):
@@ -208,37 +208,65 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
     assert na % chunk == 0, (na, chunk)
 
     cdt = _COMPUTE_DTYPE
-    use_pl = _USE_PALLAS if use_pallas is None else use_pallas
+    c_in = feats.shape[-1]
+    from .pallas import inter_conv as plic
     interpret = jax.default_backend() != 'tpu'
+    if use_pallas is None:
+        # default: kernel on TPU only (interpret-mode Pallas is far too slow
+        # to be the default CPU/test path; pass use_pallas=True to force it)
+        use_pl = _USE_PALLAS and not interpret
+    else:
+        use_pl = use_pallas
+    use_pl = use_pl and plic.supported(n_neighbor, c_in)
+
+    if use_pl:
+        # Single-pass Pallas path (no XLA-level anchor chunking): ONE
+        # row-gather per layer with (na*c)-wide rows — TPU gathers are
+        # dispatch-bound at ~40ns/row, so maximizing row width is the whole
+        # game — and ONE kernel call whose third grid dimension walks the
+        # anchor chunks by lane-offset index_map (zero chunk copies).
+        b, p2, nn = inter_idx.shape
+        nt, tp, kt, _ = plic.plan(nn, kernels.shape[0])
+        shadow_row = feats_pad.shape[1] - 1
+        idx_pad = inter_idx if nt == nn else jnp.pad(
+            inter_idx, ((0, 0), (0, 0), (0, nt - nn)),
+            constant_values=shadow_row)
+        gx8 = plic.make_gx8(grouped_xyz, nt)
+        W_pad = jnp.pad(W, ((0, kt - W.shape[0]), (0, 0), (0, 0)))
+        rk_all = jnp.einsum('aij,kj->aki', anchors, kernels)    # [na,k,3]
+        rk8 = plic.make_rk8(rk_all, k2, tp, kt)
+
+        def pl_layer(feats_pad):
+            q = feats_pad.shape[1]
+            Gflat = feats_pad.astype(cdt).reshape(b, q, na * c_in)
+            Ga = jnp.take_along_axis(
+                Gflat, idx_pad.reshape(b, p2 * nt, 1), axis=1,
+                mode='promise_in_bounds')
+            F = plic.fused_neighbor_conv(gx8, Ga, rk8, float(sigma),
+                                         tp, kt, nt, chunk, interpret)
+            # [b, na, p, k~, c] x [k~, c, d] — pad rows of F are exactly 0
+            return jnp.einsum('bapkc,kcd->bpad', F.astype(cdt),
+                              W_pad.astype(cdt),
+                              preferred_element_type=jnp.float32)
+
+        if remat and _USE_REMAT:
+            pl_layer = jax.checkpoint(pl_layer)
+        return inter_idx, new_xyz, pl_layer(feats_pad), sample_idx
 
     def chunk_fn(anchors_c, feats_c):
         # anchors_c [ac,3,3]; feats_c [b, p1+1, ac, c]
         rk = jnp.einsum('aij,kj->aki', anchors_c, kernels)          # [ac,k,3]
-        if use_pl:
-            from .pallas.inter_conv import fused_neighbor_conv
-            b, p2, nn = inter_idx.shape
-            ac = anchors_c.shape[0]
-            # anchor-major gather [b, ac, p, n, c] straight from a
-            # [b, ac, q, c] transpose of the support features
-            featsT = jnp.swapaxes(feats_c.astype(cdt), 1, 2)
-            Ga = jnp.take_along_axis(
-                featsT, inter_idx.reshape(b, 1, p2 * nn, 1), axis=2)
-            Ga = Ga.reshape(b, ac, p2, nn, featsT.shape[-1])
-            F = fused_neighbor_conv(grouped_xyz, Ga,
-                                    rk.reshape(-1, 3), k2[None, :],
-                                    float(sigma), interpret)
-        else:
-            G = sampling.gather_points(feats_c.astype(cdt), inter_idx)  # [b,p,n,ac,c]
-            cross = jnp.einsum('bpnc,akc->bpnak', grouped_xyz, rk)
-            d2 = (gx2[..., None, None] + k2[None, None, None, None, :]
-                  - 2.0 * cross)
-            w = jax.nn.relu(1.0 - d2 / sigma).astype(cdt)           # [b,p,n,ac,k]
-            # broadcast-multiply-reduce: lowers to VPU fusions instead of
-            # the pathological tiny batched GEMMs an einsum produces here.
-            # Accumulate in the compute dtype: in bf16 mode a separate f32
-            # F buffer doubles HBM traffic and blows memory (neighbor counts
-            # are 16-64, so bf16 accumulation error stays ~1e-2 relative).
-            F = (w[..., :, None] * G[..., None, :]).sum(axis=2)     # [b,p,ac,k,c]
+        G = sampling.gather_points(feats_c.astype(cdt), inter_idx)  # [b,p,n,ac,c]
+        cross = jnp.einsum('bpnc,akc->bpnak', grouped_xyz, rk)
+        d2 = (gx2[..., None, None] + k2[None, None, None, None, :]
+              - 2.0 * cross)
+        w = jax.nn.relu(1.0 - d2 / sigma).astype(cdt)           # [b,p,n,ac,k]
+        # broadcast-multiply-reduce: lowers to VPU fusions instead of
+        # the pathological tiny batched GEMMs an einsum produces here.
+        # Accumulate in the compute dtype: in bf16 mode a separate f32
+        # F buffer doubles HBM traffic and blows memory (neighbor counts
+        # are 16-64, so bf16 accumulation error stays ~1e-2 relative).
+        F = (w[..., :, None] * G[..., None, :]).sum(axis=2)     # [b,p,ac,k,c]
         return jnp.einsum('bpakc,kcd->bpad', F.astype(cdt), W.astype(cdt),
                           preferred_element_type=jnp.float32)       # [b,p,ac,c2]
 
