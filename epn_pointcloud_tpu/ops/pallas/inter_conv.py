@@ -23,16 +23,20 @@ TP = 128/N points share one large GEMM through a block-diagonal left operand
     F_sub             = BD @ G_sub                     ([TP*K~, C])
 
 and BD itself comes out of ONE small MXU dot in exactly that layout, with no
-transposes, concats, or lane reshapes anywhere: fold the squared norms into
-an 8-vector inner product
+transposes, concats, or lane reshapes anywhere: fold the squared norms AND
+the block-diagonal mask into a 16-vector inner product
 
-    gx8 = [x, y, z, |gx|^2, 1, 0, 0, 0]          (lanes = points*neighbors)
-    rk8 = [-2 R_a kappa,  1, |kappa|^2, 0, 0, 0] (pre-tiled TP x along rows)
-    d2[(t,k), (t',n)] = rk8[(t,k)] . gx8[(t',n)]
+    gx16 = [x, y, z, |gx|^2, 1, 0,0,0, onehot(t')]  (lanes = points*nbrs)
+    rk16 = [-2 R_a kappa, 1, |kappa|^2, 0,0,0, BIG*(j != t)]  (TP-tiled rows)
+    d2'[(t,k), (t',n)] = rk16[(t,k)] . gx16[(t',n)]
+                       = d2 + BIG * [t != t']
 
-Padding: K -> K~ (multiple of 128/TP so TP*K~ is 128-aligned) with sentinel
-rows rk8 = [0,0,0,0,BIG,...] => d2 = BIG => w = 0; N -> N~ (divisor of 128)
-with shadow gather indices => G rows are zero => zero contribution.
+so relu(1 - d2'/sigma) is the masked BD operand directly — the kernel's
+inner loop is one dot, one relu, one dot.
+
+Padding: K -> K~ (multiple of 8; MXU pass count is unchanged and the pad
+fraction is pure overhead downstream) with sentinel rows => d2 = BIG => w=0;
+N -> N~ (divisor of 128) with shadow gather indices => G rows are zero.
 
 Every slice in the kernel is static (Python loops over subtiles and anchors);
 Mosaic pitfalls from v1 (dynamic value slicing under fori_loop, 4-lane
@@ -84,10 +88,10 @@ def supported(n_neighbor: int, c_in: int) -> bool:
     return n_neighbor <= 128 and c_in >= 32
 
 
-def make_rk8(rk: jnp.ndarray, k2: jnp.ndarray, tp: int, kt: int,
-             transpose_for_bwd: bool = False) -> jnp.ndarray:
-    """[AC, K, 3] rotated kernels + [K] squared norms -> [AC, 8, TP*K~]
-    pre-tiled distance-fold operand (see module docstring)."""
+def make_rk8(rk: jnp.ndarray, k2: jnp.ndarray, tp: int, kt: int) -> jnp.ndarray:
+    """[AC, K, 3] rotated kernels + [K] squared norms -> [AC, 16, TP*K~]
+    pre-tiled distance+mask-fold operand (see module docstring)."""
+    import numpy as np
     ac, k, _ = rk.shape
     base = jnp.concatenate([
         -2.0 * rk,
@@ -102,11 +106,21 @@ def make_rk8(rk: jnp.ndarray, k2: jnp.ndarray, tp: int, kt: int,
                .at[:, :, 3].set(1.0).at[:, :, 4].set(_BIG))
         base = jnp.concatenate([base, pad], axis=1)        # [AC, K~, 8]
     tiled = jnp.tile(base, (1, tp, 1))                     # [AC, TP*K~, 8]
-    return jnp.transpose(tiled, (0, 2, 1))                 # [AC, 8, TP*K~]
+    # mask fold: component 8+j of row (t, k) is BIG for j != t, so the dot
+    # with gx16's onehot(t') adds BIG exactly off the block diagonal
+    t_of_row = np.repeat(np.arange(tp), kt)                # [TP*K~]
+    mrows = _BIG * (np.arange(8)[None, :] != t_of_row[:, None])
+    mrows = mrows * (np.arange(8)[None, :] < tp)           # zero unused slots
+    mask_fold = jnp.broadcast_to(
+        jnp.asarray(mrows, rk.dtype)[None], (ac, tp * kt, 8))
+    full = jnp.concatenate([tiled, mask_fold], axis=-1)    # [AC, TP*K~, 16]
+    return jnp.transpose(full, (0, 2, 1))                  # [AC, 16, TP*K~]
 
 
 def make_gx8(grouped_xyz: jnp.ndarray, nt: int) -> jnp.ndarray:
-    """[B, P, N, 3] local coords -> [B, 8, P*N~] distance-fold operand."""
+    """[B, P, N, 3] local coords -> [B, 16, P*N~] distance+mask-fold
+    operand."""
+    import numpy as np
     b, p, n, _ = grouped_xyz.shape
     gx2 = jnp.sum(grouped_xyz * grouped_xyz, axis=-1, keepdims=True)
     gx8 = jnp.concatenate([
@@ -119,17 +133,15 @@ def make_gx8(grouped_xyz: jnp.ndarray, nt: int) -> jnp.ndarray:
         # => w = 0 (exact zero contribution in forward AND backward)
         pad = jnp.zeros((b, p, nt - n, 8), gx8.dtype).at[..., 3].set(_BIG)
         gx8 = jnp.concatenate([gx8, pad], axis=2)
-    return jnp.transpose(gx8.reshape(b, p * nt, 8), (0, 2, 1))
-
-
-def _mask(tp: int, kt: int, nt: int, transposed: bool = False):
-    """Block-diagonal mask [R, S] (or [S, R]) built from in-kernel iota."""
-    r, s = tp * kt, tp * nt
-    shape = (s, r) if transposed else (r, s)
-    kdim, ndim = (1, 0) if transposed else (0, 1)
-    row_t = jax.lax.broadcasted_iota(jnp.int32, shape, kdim) // kt
-    col_t = jax.lax.broadcasted_iota(jnp.int32, shape, ndim) // nt
-    return (row_t == col_t).astype(jnp.float32)
+    gx8 = gx8.reshape(b, p * nt, 8)
+    # mask fold: onehot of the row's subtile slot t' = (s // nt) mod tp
+    tp = 128 // nt
+    s_idx = np.arange(p * nt)
+    onehot = (np.arange(8)[None, :] == ((s_idx // nt) % tp)[:, None])
+    onehot = jnp.broadcast_to(
+        jnp.asarray(onehot, gx8.dtype)[None], (b, p * nt, 8))
+    gx16 = jnp.concatenate([gx8, onehot], axis=-1)         # [B, P*N~, 16]
+    return jnp.transpose(gx16, (0, 2, 1))
 
 
 def _precision(dtype):
@@ -141,19 +153,18 @@ def _fwd_kernel(gx8_ref, g_ref, rk8_ref, out_ref, *, sigma, tp, kt, nt,
                 n_sub, ac, c):
     s = tp * nt
     inv_sigma = jnp.float32(1.0 / sigma)
-    mask = _mask(tp, kt, nt)
     gdt = g_ref.dtype
     prec = _precision(gdt)
-    gx8 = gx8_ref[0]                                           # [8, T*N~]
+    gx8 = gx8_ref[0]                                           # [16, T*N~]
     for a in range(ac):
-        # one wide K=8 dot per anchor: d2 for every subtile at once
+        # one wide K=16 dot per anchor: masked d2 for every subtile at once
         d2_all = jax.lax.dot_general(
             rk8_ref[a], gx8, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec)                                    # [R, T*N~]
         for st in range(n_sub):
             d2 = d2_all[:, st * s:(st + 1) * s]                # [R, S]
-            bd = (jax.nn.relu(1.0 - d2 * inv_sigma) * mask).astype(gdt)
+            bd = jax.nn.relu(1.0 - d2 * inv_sigma).astype(gdt)
             # G is neighbor-major with flat (anchor, channel) lanes — the
             # layout the big row-gather produces with zero reshuffling
             g_sub = g_ref[0, st * s:(st + 1) * s, a * c:(a + 1) * c]
@@ -170,10 +181,9 @@ def _bwd_kernel(gx8_ref, df_ref, rk8_ref, dg_ref, *, sigma, tp, kt, nt,
     s = tp * nt
     r = tp * kt
     inv_sigma = jnp.float32(1.0 / sigma)
-    mask_t = _mask(tp, kt, nt, transposed=True)                # [S, R]
     gdt = dg_ref.dtype
     prec = _precision(gdt)
-    gx8 = gx8_ref[0]                                           # [8, T*N~]
+    gx8 = gx8_ref[0]                                           # [16, T*N~]
     for a in range(ac):
         d2t_all = jax.lax.dot_general(
             gx8, rk8_ref[a], dimension_numbers=(((0,), (0,)), ((), ())),
@@ -181,7 +191,7 @@ def _bwd_kernel(gx8_ref, df_ref, rk8_ref, dg_ref, *, sigma, tp, kt, nt,
             precision=prec)                                    # [T*N~, R]
         for st in range(n_sub):
             d2t = d2t_all[st * s:(st + 1) * s, :]              # [S, R]
-            bdt = (jax.nn.relu(1.0 - d2t * inv_sigma) * mask_t).astype(gdt)
+            bdt = jax.nn.relu(1.0 - d2t * inv_sigma).astype(gdt)
             df_sub = df_ref[0, a, st * tp:(st + 1) * tp]       # [TP, K~, C]
             df2 = df_sub.reshape(r, c).astype(gdt)
             dg = jax.lax.dot_general(
@@ -196,7 +206,7 @@ def _pick_n_sub(p: int, tp: int, kt: int, nt: int, c: int, ac: int,
                 g_itemsize: int, o_itemsize: int) -> int:
     """Subtiles per block under a ~6 MB double-buffered VMEM budget."""
     budget = 6 * 1024 * 1024
-    per_sub = (8 * tp * nt * 4                 # gx8 block rows
+    per_sub = (16 * tp * nt * 4                # gx16 block rows
                + ac * tp * nt * c * g_itemsize  # G block
                + ac * tp * kt * c * o_itemsize)  # out block
     n_sub = max(1, budget // (2 * per_sub))
@@ -206,7 +216,7 @@ def _pick_n_sub(p: int, tp: int, kt: int, nt: int, c: int, ac: int,
 
 
 def _call(kernel, gx8, gdata, rk8, out_shape, sigma, tp, kt, nt, ac,
-          gdata_p_dim, out_p_dim, interpret):
+          gdata_p_dim, out_p_dim, interpret, gdata_c):
     """Shared pallas_call wiring for the forward and backward kernels.
 
     The neighbor-major tensor (G forward / dG backward) is
@@ -219,8 +229,7 @@ def _call(kernel, gx8, gdata, rk8, out_shape, sigma, tp, kt, nt, ac,
     b = gx8.shape[0]
     na = rk8.shape[0]
     assert na % ac == 0, (na, ac)
-    c = (gdata.shape[-1] // na if gdata_p_dim == 'flat'
-         else gdata.shape[-1])
+    c = gdata_c
     p = gx8.shape[2] // nt
     n_sub = _pick_n_sub(p, tp, kt, nt, c, ac, gdata.dtype.itemsize,
                         out_shape.dtype.itemsize)
@@ -243,9 +252,9 @@ def _call(kernel, gx8, gdata, rk8, out_shape, sigma, tp, kt, nt, ac,
                           n_sub=n_sub, ac=ac, c=c),
         grid=(b, p // t, na // ac),
         in_specs=[
-            pl.BlockSpec((1, 8, t * nt), lambda bb, pt, ci: (bb, 0, pt)),
+            pl.BlockSpec((1, 16, t * nt), lambda bb, pt, ci: (bb, 0, pt)),
             gdata_spec,
-            pl.BlockSpec((ac, 8, tp * kt), lambda bb, pt, ci: (ci, 0, 0)),
+            pl.BlockSpec((ac, 16, tp * kt), lambda bb, pt, ci: (ci, 0, 0)),
         ],
         out_specs=out_spec,
         out_shape=out_shape,
@@ -261,40 +270,43 @@ def _call(kernel, gx8, gdata, rk8, out_shape, sigma, tp, kt, nt, ac,
     )(gx8, gdata, rk8)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def fused_neighbor_conv(gx8, G, rk8, sigma, tp, kt, nt, ac=None,
-                        interpret=False):
+                        extra_lanes=0, interpret=False):
     """F[b,a,p,k~,c] = sum_n relu(1 - d2/sigma) * G — Pallas block-diag MXU.
 
-    gx8 [B, 8, P*N~] (make_gx8); G [B, P*N~, NA*C] neighbor-major gathered
-    features (shadow-padded to N~; flat anchor-channel lanes — the layout a
-    single row-gather from [b, q, na*c] support features produces);
+    gx8 [B, 8, P*N~] (make_gx8); G [B, P*N~, NA*C + extra_lanes]
+    neighbor-major gathered features (shadow-padded to N~; flat
+    anchor-channel lanes — the layout a single row-gather from a
+    [b, q, na*c (+ packed coords)] support table produces; trailing
+    extra_lanes are ignored by the kernel and undefined in the cotangent);
     rk8 [NA, 8, TP*K~] (make_rk8); ac = anchors per grid step (VMEM knob,
     divides NA; default NA).
     Returns F [B, NA, P, K~, C] in G's dtype (rows k >= K are zero).
     """
-    return _fused_fwd(gx8, G, rk8, sigma, tp, kt, nt, ac, interpret)[0]
+    return _fused_fwd(gx8, G, rk8, sigma, tp, kt, nt, ac, extra_lanes,
+                      interpret)[0]
 
 
-def _fused_fwd(gx8, G, rk8, sigma, tp, kt, nt, ac, interpret):
+def _fused_fwd(gx8, G, rk8, sigma, tp, kt, nt, ac, extra_lanes, interpret):
     b, na = G.shape[0], rk8.shape[0]
     p = gx8.shape[2] // nt
-    c = G.shape[-1] // na
+    c = (G.shape[-1] - extra_lanes) // na
     out_shape = jax.ShapeDtypeStruct((b, na, p, kt, c), G.dtype)
     f = _call(_fwd_kernel, gx8, G, rk8, out_shape, sigma, tp, kt, nt,
               ac or na, gdata_p_dim='flat', out_p_dim='tiled',
-              interpret=interpret)
+              interpret=interpret, gdata_c=c)
     return f, (gx8, rk8)
 
 
-def _fused_bwd(sigma, tp, kt, nt, ac, interpret, res, df):
+def _fused_bwd(sigma, tp, kt, nt, ac, extra_lanes, interpret, res, df):
     gx8, rk8 = res
     b, na, p, _, c = df.shape
     gdt = df.dtype
-    dg_shape = jax.ShapeDtypeStruct((b, p * nt, na * c), gdt)
+    dg_shape = jax.ShapeDtypeStruct((b, p * nt, na * c + extra_lanes), gdt)
     dg = _call(_bwd_kernel, gx8, df.astype(gdt), rk8, dg_shape, sigma, tp,
                kt, nt, ac or na, gdata_p_dim='tiled', out_p_dim='flat',
-               interpret=interpret)
+               interpret=interpret, gdata_c=c)
     return jnp.zeros_like(gx8), dg, jnp.zeros_like(rk8)
 
 

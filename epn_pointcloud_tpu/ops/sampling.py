@@ -139,11 +139,16 @@ def ball_query(query: jnp.ndarray, support: jnp.ndarray, radius: float,
     cnt = jnp.minimum(hit.sum(axis=-1), n_sample)                # [b,m]
 
     # Periodic repeat fill: idx[s] = idx[s % cnt] for s >= cnt (cnt=0 -> 0).
+    # Unrolled select-sum instead of take_along_axis: single-element gathers
+    # are dispatch-bound on TPU (~15 ms/step across the model vs <1 ms of
+    # VPU selects).
     s = jnp.arange(n_sample)[None, None, :]
     cnt_safe = jnp.maximum(cnt, 1)[..., None]
-    src = jnp.where(s < cnt[..., None], s, s % cnt_safe)
-    src = jnp.broadcast_to(src, out.shape[:2] + (n_sample,))
-    return jnp.take_along_axis(out, src, axis=-1, mode='promise_in_bounds')
+    src = jnp.where(s < cnt[..., None], s, s % cnt_safe)   # [b, m, n_sample]
+    filled = jnp.zeros_like(out)
+    for t in range(n_sample):
+        filled = filled + jnp.where(src == t, out[..., t:t + 1], 0)
+    return filled
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +174,8 @@ def add_shadow_feature(feats: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def inter_grouping_ball(xyz: jnp.ndarray, stride: int, radius: float,
-                        n_neighbor: int, lazy_sample: bool = True):
+                        n_neighbor: int, lazy_sample: bool = True,
+                        gather_xyz: bool = True):
     """FPS(stride) -> ball query -> localized neighbor coordinates.
 
     xyz [b, p1, 3] ->
@@ -189,6 +195,9 @@ def inter_grouping_ball(xyz: jnp.ndarray, stride: int, radius: float,
     n_sample = math.ceil(p1 / stride)
     sample_idx, sample_xyz = furthest_sample(xyz, n_sample, lazy_sample)
     ball_idx = ball_query(sample_xyz, xyz, radius, n_neighbor)
+    if not gather_xyz:
+        # caller folds the coordinate rows into its own (wider) gather
+        return None, ball_idx, sample_idx, sample_xyz
     support = add_shadow_point(xyz)
     grouped_xyz = gather_points(support, ball_idx)      # [b, p2, nn, 3]
     grouped_xyz = grouped_xyz - sample_xyz[:, :, None, :]

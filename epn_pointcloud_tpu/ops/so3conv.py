@@ -197,11 +197,6 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
     Returns (inter_idx, new_xyz, out_feats [b, p2, a, c_out], sample_idx).
     The inter_w cache is not produced (recompute is cheaper than the HBM).
     """
-    grouped_xyz, inter_idx, sample_idx, new_xyz = sampling.inter_grouping_ball(
-        xyz, stride, radius * radius_expansion, n_neighbor, lazy_sample)
-    feats_pad = sampling.add_shadow_feature(feats)    # [b, p1+1, a, c]
-
-    gx2 = jnp.sum(grouped_xyz ** 2, axis=-1)          # [b, p2, n]
     k2 = jnp.sum(kernels ** 2, axis=-1)               # [k]
     na = anchors.shape[0]
     chunk = min(anchor_chunk, na)
@@ -221,29 +216,55 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
 
     if use_pl:
         # Single-pass Pallas path (no XLA-level anchor chunking): ONE
-        # row-gather per layer with (na*c)-wide rows — TPU gathers are
-        # dispatch-bound at ~40ns/row, so maximizing row width is the whole
-        # game — and ONE kernel call whose third grid dimension walks the
-        # anchor chunks by lane-offset index_map (zero chunk copies).
+        # row-gather per layer with (na*c + 8)-wide rows — TPU gathers are
+        # dispatch/byte-bound, so everything rides one wide gather: the
+        # support features AND the (packed) support coordinates. The kernel's
+        # third grid dimension walks the anchor chunks by lane-offset
+        # index_map (zero chunk copies); the trailing coordinate lanes feed
+        # the distance-fold operand.
+        _, inter_idx, sample_idx, new_xyz = sampling.inter_grouping_ball(
+            xyz, stride, radius * radius_expansion, n_neighbor, lazy_sample,
+            gather_xyz=False)
+        feats_pad = sampling.add_shadow_feature(feats)
         b, p2, nn = inter_idx.shape
         nt, tp, kt, _ = plic.plan(nn, kernels.shape[0])
-        shadow_row = feats_pad.shape[1] - 1
+        q = feats_pad.shape[1]
+        shadow_row = q - 1
         idx_pad = inter_idx if nt == nn else jnp.pad(
             inter_idx, ((0, 0), (0, 0), (0, nt - nn)),
             constant_values=shadow_row)
-        gx8 = plic.make_gx8(grouped_xyz, nt)
         W_pad = jnp.pad(W, ((0, kt - W.shape[0]), (0, 0), (0, 0)))
         rk_all = jnp.einsum('aij,kj->aki', anchors, kernels)    # [na,k,3]
         rk8 = plic.make_rk8(rk_all, k2, tp, kt)
 
+        support_pad = sampling.add_shadow_point(xyz)            # [b, q, 3]
+        if cdt == jnp.float32:
+            xyz_cols = jnp.pad(support_pad, ((0, 0), (0, 0), (0, 5)))
+            n_xyz_lanes = 3
+        else:
+            # lossless f32 -> 2 x bf16 lanes (decoded after the gather)
+            packed = jax.lax.bitcast_convert_type(
+                support_pad, cdt).reshape(b, q, 6)
+            xyz_cols = jnp.pad(packed, ((0, 0), (0, 0), (0, 2)))
+            n_xyz_lanes = 6
+
         def pl_layer(feats_pad):
-            q = feats_pad.shape[1]
-            Gflat = feats_pad.astype(cdt).reshape(b, q, na * c_in)
+            Gflat = jnp.concatenate(
+                [feats_pad.astype(cdt).reshape(b, q, na * c_in), xyz_cols],
+                axis=-1)
             Ga = jnp.take_along_axis(
                 Gflat, idx_pad.reshape(b, p2 * nt, 1), axis=1,
                 mode='promise_in_bounds')
+            raw = jax.lax.stop_gradient(
+                Ga[:, :, na * c_in:na * c_in + n_xyz_lanes])
+            if cdt != jnp.float32:
+                raw = jax.lax.bitcast_convert_type(
+                    raw.reshape(b, p2 * nt, 3, 2), jnp.float32)
+            grouped = (raw.reshape(b, p2, nt, 3)
+                       - new_xyz[:, :, None, :])
+            gx8 = plic.make_gx8(grouped, nt)
             F = plic.fused_neighbor_conv(gx8, Ga, rk8, float(sigma),
-                                         tp, kt, nt, chunk, interpret)
+                                         tp, kt, nt, chunk, 8, interpret)
             # [b, na, p, k~, c] x [k~, c, d] — pad rows of F are exactly 0
             return jnp.einsum('bapkc,kcd->bpad', F.astype(cdt),
                               W_pad.astype(cdt),
@@ -252,6 +273,11 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
         if remat and _USE_REMAT:
             pl_layer = jax.checkpoint(pl_layer)
         return inter_idx, new_xyz, pl_layer(feats_pad), sample_idx
+
+    grouped_xyz, inter_idx, sample_idx, new_xyz = sampling.inter_grouping_ball(
+        xyz, stride, radius * radius_expansion, n_neighbor, lazy_sample)
+    feats_pad = sampling.add_shadow_feature(feats)    # [b, p1+1, a, c]
+    gx2 = jnp.sum(grouped_xyz ** 2, axis=-1)          # [b, p2, n]
 
     def chunk_fn(anchors_c, feats_c):
         # anchors_c [ac,3,3]; feats_c [b, p1+1, ac, c]

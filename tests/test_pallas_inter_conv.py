@@ -37,7 +37,7 @@ def test_kernel_vs_oracle(B, P, N, AC, K, C):
     # neighbor-major flat (anchor, channel) lanes
     Gf = jnp.transpose(G_pad, (0, 2, 3, 1, 4)).reshape(B, P * nt, AC * C)
 
-    f = ic.fused_neighbor_conv(gx8, Gf, rk8, sigma, tp, kt, nt, None, True)
+    f = ic.fused_neighbor_conv(gx8, Gf, rk8, sigma, tp, kt, nt, None, 0, True)
     ref = ic.reference_F(gx, G, rk, k2, sigma, kt)
     np.testing.assert_allclose(np.asarray(f), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
@@ -45,7 +45,7 @@ def test_kernel_vs_oracle(B, P, N, AC, K, C):
     def loss_pl(Gf):
         return jnp.sum(jnp.sin(
             ic.fused_neighbor_conv(gx8, Gf, rk8, sigma, tp, kt, nt, None,
-                                   True)))
+                                   0, True)))
 
     def loss_ref(Gf):
         Gr = jnp.transpose(Gf.reshape(B, P, nt, AC, C),
