@@ -28,9 +28,13 @@ class ClsSO3ConvModel(fnn.Module):
     @fnn.compact
     def __call__(self, x, rlabel=None, train: bool = True):
         # x: [nb, np, 3]
+        ones = x.shape[-1] == 3   # no normals -> occupancy-ones features
         x = so3conv.preprocess_input(x, self.params['na'], False)
-        for block_param in self.params['backbone']:
-            x = BasicSO3ConvBlock(block_param)(x, train=train)
+        for bi, block_param in enumerate(self.params['backbone']):
+            # plain-occupancy input features are constant ones -> block0's
+            # neighbor-feature gather is skipped (ones_input fast path)
+            x = BasicSO3ConvBlock(block_param)(
+                x, train=train, ones_input=(bi == 0 and ones))
         return ClsOutBlockPointnet(self.params['outblock'])(x, rlabel, train=train)
 
     def get_anchor(self):

@@ -27,9 +27,13 @@ class RegSO3ConvModel(fnn.Module):
     def __call__(self, x, train: bool = True):
         # [nb, 2, np, 3] -> [2*nb, np, 3]
         x = jnp.concatenate([x[:, 0], x[:, 1]], axis=0)
+        ones = x.shape[-1] == 3   # no normals -> occupancy-ones features
         x = so3conv.preprocess_input(x, self.params['na'], False)
-        for block_param in self.params['backbone']:
-            x = BasicSO3ConvBlock(block_param)(x, train=train)
+        for bi, block_param in enumerate(self.params['backbone']):
+            # plain-occupancy input features are constant ones -> block0's
+            # neighbor-feature gather is skipped (ones_input fast path)
+            x = BasicSO3ConvBlock(block_param)(
+                x, train=train, ones_input=(bi == 0 and ones))
         nb = x.feats.shape[0] // 2
         f1, f2 = x.feats[:nb], x.feats[nb:]
         x1, x2 = x.xyz[:nb], x.xyz[nb:]

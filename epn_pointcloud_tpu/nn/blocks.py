@@ -63,13 +63,14 @@ class InterSO3ConvBlock(fnn.Module):
 
     @fnn.compact
     def __call__(self, x: SphericalPointCloud, inter_idx=None, inter_w=None,
-                 train: bool = True):
+                 train: bool = True, ones_input: bool = False):
         lazy = True if self.lazy_sample is None else self.lazy_sample
         pooling = None if self.pooling in ('none', None) else self.pooling
         inter_idx, inter_w, sample_idx, x = InterSO3Conv(
             self.dim_in, self.dim_out, self.kernel_size, self.stride,
             self.radius, self.sigma, self.n_neighbor, lazy_sample=lazy,
-            pooling=pooling, kanchor=self.kanchor)(x, inter_idx, inter_w)
+            pooling=pooling, kanchor=self.kanchor,
+            ones_input=ones_input)(x, inter_idx, inter_w)
         feat = make_norm(self.norm)()(x.feats, train=train)
         act = get_activation(self.activation)
         if act is not None:
@@ -88,7 +89,7 @@ class SeparableSO3ConvBlock(fnn.Module):
 
     @fnn.compact
     def __call__(self, x: SphericalPointCloud, inter_idx=None, inter_w=None,
-                 train: bool = True):
+                 train: bool = True, ones_input: bool = False):
         p = self.args
         dim_in, dim_out = p['dim_in'], p['dim_out']
         use_intra = p['kanchor'] > 1
@@ -101,7 +102,9 @@ class SeparableSO3ConvBlock(fnn.Module):
             kanchor=p['kanchor'], lazy_sample=p.get('lazy_sample'),
             norm=p.get('norm'), activation=p['activation'],
             pooling=p.get('pooling') or 'none',
-            dropout_rate=p['dropout_rate'])(x, inter_idx, inter_w, train=train)
+            dropout_rate=p['dropout_rate'])(x, inter_idx, inter_w,
+                                            train=train,
+                                            ones_input=ones_input)
 
         if use_intra:
             x = IntraSO3ConvBlock(
@@ -125,18 +128,22 @@ class BasicSO3ConvBlock(fnn.Module):
     params: Sequence[Dict[str, Any]]
 
     @fnn.compact
-    def __call__(self, x: SphericalPointCloud, train: bool = True):
+    def __call__(self, x: SphericalPointCloud, train: bool = True,
+                 ones_input: bool = False):
         inter_idx, inter_w = None, None
         for i, param in enumerate(self.params):
+            ones = ones_input and i == 0
             t = param['type']
             if t in ('inter', 'inter_block'):
                 inter_idx, inter_w, _, x = InterSO3ConvBlock(
-                    **param['args'])(x, inter_idx, inter_w, train=train)
+                    **param['args'])(x, inter_idx, inter_w, train=train,
+                                     ones_input=ones)
                 if param['args']['stride'] > 1:
                     inter_idx, inter_w = None, None
             elif t == 'separable_block':
                 inter_idx, inter_w, _, x = SeparableSO3ConvBlock(
-                    param['args'])(x, inter_idx, inter_w, train=train)
+                    param['args'])(x, inter_idx, inter_w, train=train,
+                                   ones_input=ones)
                 if param['args']['stride'] > 1:
                     inter_idx, inter_w = None, None
             elif t == 'intra_block':

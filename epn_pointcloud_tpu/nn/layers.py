@@ -216,11 +216,23 @@ class IntraSO3Conv(fnn.Module):
 
         from ..ops import so3conv as so3f
         cdt = so3f.get_compute_dtype()
-        M = jnp.asarray(_intra_onehot_const(), dtype=cdt)   # [x, a, k]
-        Y = jnp.einsum('bpxc,kcd->bpxkd', x.feats.astype(cdt),
-                       W.astype(cdt))
-        out = jnp.einsum('bpxkd,xak->bpad', Y.astype(cdt), M,
-                         preferred_element_type=jnp.float32)
+        if jax.default_backend() == 'tpu':
+            # fused Pallas kernel: true MACs on the MXU, VMEM-resident
+            # anchor mixing, no [b,p,x,k,d] HBM intermediate
+            from ..ops.pallas.intra_conv import intra_conv
+            b, p, nx, c1 = x.feats.shape
+            w2 = jnp.transpose(W.astype(cdt), (1, 0, 2)).reshape(
+                c1, int(n_kernel) * self.dim_out)
+            out = intra_conv(
+                x.feats.astype(cdt).reshape(b, p, nx * c1), w2,
+                tuple(map(tuple, ti.tolist())))
+            out = out.reshape(b, p, na, self.dim_out).astype(jnp.float32)
+        else:
+            M = jnp.asarray(_intra_onehot_const(), dtype=cdt)   # [x, a, k]
+            Y = jnp.einsum('bpxc,kcd->bpxkd', x.feats.astype(cdt),
+                           W.astype(cdt))
+            out = jnp.einsum('bpxkd,xak->bpad', Y.astype(cdt), M,
+                             preferred_element_type=jnp.float32)
         from ..parallel.mesh import constrain_feats
         out = constrain_feats(out)
         anchors = jnp.asarray(_anchors_const(60))
@@ -249,6 +261,7 @@ class InterSO3Conv(fnn.Module):
     fused: bool = True
     anchor_chunk: int = 20
     remat: bool = True
+    ones_input: bool = False
 
     @fnn.compact
     def __call__(self, x: SphericalPointCloud, inter_idx=None, inter_w=None):
@@ -270,7 +283,7 @@ class InterSO3Conv(fnn.Module):
                 x.xyz, x.feats, self.stride, self.n_neighbor, anchors,
                 kernels, self.radius, self.sigma, W,
                 lazy_sample=self.lazy_sample, anchor_chunk=chunk,
-                remat=self.remat)
+                remat=self.remat, ones_input=self.ones_input)
             inter_w = None
         else:
             inter_idx, inter_w, xyz, feats, sample_idx = \

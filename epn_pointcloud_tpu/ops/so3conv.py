@@ -186,7 +186,8 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                         radius_expansion: float = 1.0,
                         anchor_chunk: int = 20,
                         remat: bool = True,
-                        use_pallas: Optional[bool] = None):
+                        use_pallas: Optional[bool] = None,
+                        ones_input: bool = False):
     """Fused inter conv: grouping + anchor weights + neighbor contraction +
     the learned BasicSO3Conv matmul, computed in anchor chunks so the
     [b, p, n, a, c] and [b, p, a, k, c] intermediates of the reference
@@ -282,11 +283,19 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
     def chunk_fn(anchors_c, feats_c):
         # anchors_c [ac,3,3]; feats_c [b, p1+1, ac, c]
         rk = jnp.einsum('aij,kj->aki', anchors_c, kernels)          # [ac,k,3]
-        G = sampling.gather_points(feats_c.astype(cdt), inter_idx)  # [b,p,n,ac,c]
         cross = jnp.einsum('bpnc,akc->bpnak', grouped_xyz, rk)
         d2 = (gx2[..., None, None] + k2[None, None, None, None, :]
               - 2.0 * cross)
         w = jax.nn.relu(1.0 - d2 / sigma).astype(cdt)           # [b,p,n,ac,k]
+        if ones_input and c_in == 1:
+            # occupancy input: every gathered feature is exactly 1 (ball
+            # query never emits the shadow index), so the neighbor
+            # contraction is just the weight sum — no gather at all
+            F = w.sum(axis=2)[..., None]                        # [b,p,ac,k,1]
+            return jnp.einsum('bpakc,kcd->bpad', F.astype(cdt),
+                              W.astype(cdt),
+                              preferred_element_type=jnp.float32)
+        G = sampling.gather_points(feats_c.astype(cdt), inter_idx)  # [b,p,n,ac,c]
         # broadcast-multiply-reduce: lowers to VPU fusions instead of
         # the pathological tiny batched GEMMs an einsum produces here.
         # Accumulate in the compute dtype: in bf16 mode a separate f32
