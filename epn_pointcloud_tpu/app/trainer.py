@@ -150,6 +150,8 @@ class Trainer:
         """Data-parallel mesh over all visible devices (the TPU-native
         stand-in for the reference's DataParallel, trainer.py:153-160)."""
         self.mesh = make_mesh()
+        from ..parallel import set_global_mesh
+        set_global_mesh(self.mesh)  # activates shard_map'd Pallas paths
         n = int(np.prod([s for s in self.mesh.devices.shape]))
         self.logger.log('Setup', f'Using a {self.mesh.devices.shape} device '
                                  f'mesh ({n} devices)!')

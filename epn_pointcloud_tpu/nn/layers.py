@@ -216,16 +216,32 @@ class IntraSO3Conv(fnn.Module):
 
         from ..ops import so3conv as so3f
         cdt = so3f.get_compute_dtype()
-        if jax.default_backend() == 'tpu':
+        use_pl = jax.default_backend() == 'tpu'
+        shard_mesh = None
+        if use_pl and jax.device_count() > 1:
+            # Pallas is opaque to GSPMD: shard_map over 'data' when a global
+            # mesh is installed, XLA two-stage GEMM otherwise
+            from ..parallel import mesh as pmesh
+            gm = pmesh.get_global_mesh()
+            if (gm is not None and pmesh.axis_size(gm, 'anchor') == 1
+                    and pmesh.axis_size(gm, 'data') > 1
+                    and x.feats.shape[0] % pmesh.axis_size(gm, 'data') == 0):
+                shard_mesh = gm
+            else:
+                use_pl = False
+        if use_pl:
             # fused Pallas kernel: true MACs on the MXU, VMEM-resident
             # anchor mixing, no [b,p,x,k,d] HBM intermediate
             from ..ops.pallas.intra_conv import intra_conv
             b, p, nx, c1 = x.feats.shape
             w2 = jnp.transpose(W.astype(cdt), (1, 0, 2)).reshape(
                 c1, int(n_kernel) * self.dim_out)
-            out = intra_conv(
-                x.feats.astype(cdt).reshape(b, p, nx * c1), w2,
-                tuple(map(tuple, ti.tolist())))
+            tit = tuple(map(tuple, ti.tolist()))
+            fn = lambda f, w: intra_conv(f, w, tit)
+            if shard_mesh is not None:
+                from ..parallel import mesh as pmesh
+                fn = pmesh.data_shard_map(fn, shard_mesh, 1, 1)
+            out = fn(x.feats.astype(cdt).reshape(b, p, nx * c1), w2)
             out = out.reshape(b, p, na, self.dim_out).astype(jnp.float32)
         else:
             M = jnp.asarray(_intra_onehot_const(), dtype=cdt)   # [x, a, k]

@@ -215,6 +215,22 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
         use_pl = use_pallas
     use_pl = use_pl and plic.supported(n_neighbor, c_in)
 
+    # Multi-device: Pallas calls are opaque to GSPMD, so under a bare pjit
+    # they would force replication. With an installed global ('data',
+    # 'anchor') mesh we shard_map the Pallas layer over 'data' explicitly;
+    # otherwise (or for anchor-axis model parallelism) fall back to the
+    # XLA formulation, which GSPMD partitions fine.
+    from ..parallel import mesh as pmesh
+    shard_mesh = None
+    if use_pl and jax.device_count() > 1:
+        gm = pmesh.get_global_mesh()
+        if (gm is not None and pmesh.axis_size(gm, 'anchor') == 1
+                and pmesh.axis_size(gm, 'data') > 1
+                and feats.shape[0] % pmesh.axis_size(gm, 'data') == 0):
+            shard_mesh = gm
+        else:
+            use_pl = False
+
     if use_pl:
         # Single-pass Pallas path (no XLA-level anchor chunking): ONE
         # row-gather per layer with (na*c + 8)-wide rows — TPU gathers are
@@ -249,19 +265,23 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
             xyz_cols = jnp.pad(packed, ((0, 0), (0, 0), (0, 2)))
             n_xyz_lanes = 6
 
-        def pl_layer(feats_pad):
+        def pl_layer(feats_pad, xyz_cols, idx_pad, new_xyz, rk8, W_pad):
+            # shapes derived from the args: under shard_map these are the
+            # PER-SHARD extents (batch divided over the 'data' axis)
+            bb, qq = feats_pad.shape[:2]
+            pp = idx_pad.shape[1]
             Gflat = jnp.concatenate(
-                [feats_pad.astype(cdt).reshape(b, q, na * c_in), xyz_cols],
+                [feats_pad.astype(cdt).reshape(bb, qq, na * c_in), xyz_cols],
                 axis=-1)
             Ga = jnp.take_along_axis(
-                Gflat, idx_pad.reshape(b, p2 * nt, 1), axis=1,
+                Gflat, idx_pad.reshape(bb, pp * nt, 1), axis=1,
                 mode='promise_in_bounds')
             raw = jax.lax.stop_gradient(
                 Ga[:, :, na * c_in:na * c_in + n_xyz_lanes])
             if cdt != jnp.float32:
                 raw = jax.lax.bitcast_convert_type(
-                    raw.reshape(b, p2 * nt, 3, 2), jnp.float32)
-            grouped = (raw.reshape(b, p2, nt, 3)
+                    raw.reshape(bb, pp * nt, 3, 2), jnp.float32)
+            grouped = (raw.reshape(bb, pp, nt, 3)
                        - new_xyz[:, :, None, :])
             gx8 = plic.make_gx8(grouped, nt)
             F = plic.fused_neighbor_conv(gx8, Ga, rk8, float(sigma),
@@ -273,7 +293,11 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
 
         if remat and _USE_REMAT:
             pl_layer = jax.checkpoint(pl_layer)
-        return inter_idx, new_xyz, pl_layer(feats_pad), sample_idx
+        if shard_mesh is not None:
+            pl_layer = pmesh.data_shard_map(pl_layer, shard_mesh,
+                                            n_data_args=4, n_repl_args=2)
+        out = pl_layer(feats_pad, xyz_cols, idx_pad, new_xyz, rk8, W_pad)
+        return inter_idx, new_xyz, out, sample_idx
 
     grouped_xyz, inter_idx, sample_idx, new_xyz = sampling.inter_grouping_ball(
         xyz, stride, radius * radius_expansion, n_neighbor, lazy_sample)

@@ -80,6 +80,23 @@ def get_global_mesh() -> Mesh | None:
     return _GLOBAL_MESH
 
 
+def axis_size(mesh: Mesh, name: str) -> int:
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    return int(sizes.get(name, 1))
+
+
+def data_shard_map(fn, mesh: Mesh, n_data_args: int, n_repl_args: int):
+    """shard_map `fn` over the 'data' axis: the first n_data_args are
+    batch-sharded, the remaining n_repl_args replicated; one batch-sharded
+    output. Pallas calls are opaque to GSPMD (a bare pjit would have to
+    replicate them); shard_map hands each device its batch shard
+    explicitly."""
+    from jax.experimental.shard_map import shard_map
+    in_specs = tuple([P('data')] * n_data_args + [P()] * n_repl_args)
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=P('data'),
+                     check_rep=False)
+
+
 def constrain_feats(feats):
     """Apply the canonical sharding to anchor-indexed features
     [b, p, a, c]: batch over 'data', anchors over 'anchor' (when a 2-D

@@ -96,3 +96,36 @@ def test_fused_layer_path_matches_xla():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
                                rtol=1e-3, atol=2e-3)
+
+
+def test_fused_layer_shard_map_multidevice():
+    """With a multi-device global ('data','anchor') mesh installed, the
+    Pallas path runs under shard_map over 'data' (GSPMD cannot partition
+    opaque Pallas calls) and matches the XLA path."""
+    from epn_pointcloud_tpu.parallel import mesh as pmesh
+    if len(jax.devices()) < 2:
+        pytest.skip('needs multi-device backend')
+    m = pmesh.make_mesh()
+    pmesh.set_global_mesh(m)
+    try:
+        rng = np.random.RandomState(1)
+        b, p, a, c, cout, n, K = 8, 64, 20, 64, 48, 12, 24
+        xyz = jnp.asarray(rng.randn(b, p, 3).astype(np.float32) * 0.3)
+        feats = jnp.asarray(rng.randn(b, p, a, c).astype(np.float32))
+        anchors = jnp.asarray(ico.get_anchors(a).astype(np.float32))
+        kernels = jnp.asarray(rng.randn(K, 3).astype(np.float32) * 0.2)
+        W = jnp.asarray(rng.randn(K, c, cout).astype(np.float32) * 0.05)
+
+        def run(use_pl):
+            _, _, out, _ = so3conv.inter_so3conv_fused(
+                xyz, feats, 2, n, anchors, kernels, 0.4, 0.08, W,
+                lazy_sample=True, anchor_chunk=10, remat=True,
+                use_pallas=use_pl)
+            return out
+
+        o1 = jax.jit(lambda: run(False))()
+        o2 = jax.jit(lambda: run(True))()
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-4, atol=1e-4)
+    finally:
+        pmesh.set_global_mesh(None)
