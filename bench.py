@@ -70,7 +70,11 @@ def bench_train(batch=12, input_num=1024, kanchor=60, iters=10):
     import jax.numpy as jnp
     from epn_pointcloud_tpu import losses, models
     from epn_pointcloud_tpu.app.config import default_opt
+    from epn_pointcloud_tpu.ops import so3conv
     from epn_pointcloud_tpu.parallel import create_train_state, make_lr_schedule
+
+    so3conv.set_compute_dtype('bf16')   # production precision
+    so3conv.set_remat(True)             # training: save activation memory
 
     opt = default_opt(**{'model.model': 'cls_so3net_pn',
                          'model.input_num': input_num,
@@ -116,6 +120,10 @@ def bench_descriptor_extraction(batch=48, input_num=1024, kanchor=60,
     import jax.numpy as jnp
     from epn_pointcloud_tpu import models
     from epn_pointcloud_tpu.app.config import default_opt
+    from epn_pointcloud_tpu.ops import so3conv
+
+    so3conv.set_compute_dtype('bf16')
+    so3conv.set_remat(False)
 
     opt = default_opt(**{'model.model': 'inv_so3net_pn',
                          'model.input_num': input_num,
@@ -153,6 +161,10 @@ def main():
         dput, ddt = bench_descriptor_extraction()
         print(f'[bench-extra] 3dmatch descriptor extraction '
               f'{dput:.1f} patches/s ({ddt * 1e3:.1f} ms @ b48)',
+              file=sys.stderr)
+        rput, rdt = bench_forward(kanchor=20)
+        print(f'[bench-extra] reduced config kanchor=20: '
+              f'{rput:.1f} clouds/s ({rdt * 1e3:.1f} ms @ b32)',
               file=sys.stderr)
     print(json.dumps({
         'metric': 'modelnet40_cls_60anchor_b32_1024pt_inference_throughput',

@@ -84,6 +84,11 @@ def build_parser() -> HierarchyArgumentParser:
     train.add_argument('-lf', '--log-freq', type=int, default=100)
     train.add_argument('--eval-freq', type=int, default=5000)
     train.add_argument('--debug-mode', type=str, default=None)
+    # TPU-native extension (not in the reference options surface): compute
+    # precision for the hot conv path. fp32 = reference parity (default);
+    # bf16 = production (bf16 streams, fp32-accumulating MXU GEMMs).
+    train.add_argument('--compute-dtype', type=str, default='fp32',
+                       choices=['fp32', 'bf16'])
 
     lr = parser.add_parser('train_lr')
     lr.add_argument('-lr', '--init-lr', type=float, default=1e-3)

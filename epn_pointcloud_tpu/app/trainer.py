@@ -152,6 +152,8 @@ class Trainer:
         self.mesh = make_mesh()
         from ..parallel import set_global_mesh
         set_global_mesh(self.mesh)  # activates shard_map'd Pallas paths
+        from ..ops import so3conv
+        so3conv.set_compute_dtype(getattr(self.opt, 'compute_dtype', 'fp32'))
         n = int(np.prod([s for s in self.mesh.devices.shape]))
         self.logger.log('Setup', f'Using a {self.mesh.devices.shape} device '
                                  f'mesh ({n} devices)!')
