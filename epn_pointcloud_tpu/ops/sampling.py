@@ -30,15 +30,54 @@ FPS_SHADOW_EPS = 1e-3  # ref: grouping_cuda_kernel.cu:385-387
 # scatter-add backward automatically)
 # ---------------------------------------------------------------------------
 
+# One-hot MXU gather: XLA's TPU row gather tops out around 90-160 GB/s
+# (far under HBM), while the MXU runs a one-hot selection einsum at near
+# peak (~176 TF/s measured on the same shapes) — so whenever the support
+# table is short enough (FLOPs scale with q, gather bytes don't), selecting
+# rows with a one-hot GEMM is ~3x faster. It is exact: each output row is
+# 1.0 * the single selected row, accumulated in fp32 (for fp32 tables the
+# HIGHEST-precision 3-term bf16 split reconstructs the value bitwise).
+# Bonus: the VJP is the transposed einsum — another MXU GEMM — instead of
+# XLA's serialized scatter-add.
+_ONEHOT_MAX_Q = 2048          # breakeven ~= peak_flops / gather_bw ~= 2000
+_ONEHOT_MIN_ROWS = 256        # tiny gathers aren't worth the iota+GEMM
+
+
+def gather_rows_onehot(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table [b, q, L], idx [b, r] int -> [b, r, L] via one-hot einsum."""
+    q = table.shape[1]
+    prec = (jax.lax.Precision.HIGHEST if table.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    s = jax.nn.one_hot(idx, q, dtype=table.dtype)
+    out = jnp.einsum('brq,bql->brl', s, table,
+                     preferred_element_type=jnp.float32, precision=prec)
+    return out.astype(table.dtype)
+
+
+def _onehot_profitable(q: int, rows: int, lanes: int) -> bool:
+    return (jax.default_backend() == 'tpu' and q <= _ONEHOT_MAX_Q
+            and rows >= _ONEHOT_MIN_ROWS and lanes >= 128)
+
+
 def gather_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Batched index gather along the point axis (axis=1).
 
     feats [b, n, ...], idx [b, m1(, m2, ...)] -> [b, m1(, m2, ...), ...]
     (ref: vgtk/utils.py:25-27 batch_gather + pc/sample.py:46-50 group_nd,
     transposed to channels-last).
+
+    On TPU, short-table wide-row gathers dispatch to the one-hot MXU
+    formulation (see gather_rows_onehot); otherwise a plain XLA gather.
     """
     b = feats.shape[0]
+    q = feats.shape[1]
     flat_idx = idx.reshape(b, -1)
+    lanes = 1
+    for d in feats.shape[2:]:
+        lanes *= d
+    if _onehot_profitable(q, flat_idx.shape[1], lanes):
+        out = gather_rows_onehot(feats.reshape(b, q, lanes), flat_idx)
+        return out.reshape(idx.shape + feats.shape[2:])
     # indices are in bounds by construction (ball query / FPS emit valid
     # support indices; the shadow index is the last padded row) — skipping
     # the out-of-bounds select halves the gather cost on TPU

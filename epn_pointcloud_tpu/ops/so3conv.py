@@ -255,13 +255,27 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
         rk8 = plic.make_rk8(rk_all, k2, tp, kt)
 
         support_pad = sampling.add_shadow_point(xyz)            # [b, q, 3]
-        if cdt == jnp.float32:
+        use_onehot = sampling._onehot_profitable(
+            feats_pad.shape[1], p2 * nt, na * c_in + 8)
+        if use_onehot:
+            # One-hot MXU megagather. The packed-coordinate trick below is
+            # NOT used here: raw f32 bit-halves are not valid bf16 values
+            # (denormal/NaN patterns flush on the MXU), so coordinates ride
+            # a separate exact f32 one-hot selection instead — with no
+            # per-row dispatch cost there is no reason to fold them.
+            xyz_cols = jnp.pad(support_pad, ((0, 0), (0, 0), (0, 5)))
+            n_xyz_lanes = 3
+        elif cdt == jnp.float32:
             xyz_cols = jnp.pad(support_pad, ((0, 0), (0, 0), (0, 5)))
             n_xyz_lanes = 3
         else:
-            # lossless f32 -> 2 x bf16 lanes (decoded after the gather)
-            packed = jax.lax.bitcast_convert_type(
-                support_pad, cdt).reshape(b, q, 6)
+            # f32 -> additive hi+lo bf16 split (NOT a bitcast: raw f32
+            # bit-halves form NaN bit patterns that get canonicalized in
+            # transit, corrupting low mantissa bits). hi+lo reconstructs
+            # the coordinate to ~2^-17 relative.
+            hi = support_pad.astype(cdt)
+            lo = (support_pad - hi.astype(jnp.float32)).astype(cdt)
+            packed = jnp.concatenate([hi, lo], axis=-1)         # [b, q, 6]
             xyz_cols = jnp.pad(packed, ((0, 0), (0, 0), (0, 2)))
             n_xyz_lanes = 6
 
@@ -270,22 +284,32 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
             # PER-SHARD extents (batch divided over the 'data' axis)
             bb, qq = feats_pad.shape[:2]
             pp = idx_pad.shape[1]
-            Gflat = jnp.concatenate(
-                [feats_pad.astype(cdt).reshape(bb, qq, na * c_in), xyz_cols],
-                axis=-1)
-            Ga = jnp.take_along_axis(
-                Gflat, idx_pad.reshape(bb, pp * nt, 1), axis=1,
-                mode='promise_in_bounds')
-            raw = jax.lax.stop_gradient(
-                Ga[:, :, na * c_in:na * c_in + n_xyz_lanes])
-            if cdt != jnp.float32:
-                raw = jax.lax.bitcast_convert_type(
-                    raw.reshape(bb, pp * nt, 3, 2), jnp.float32)
+            flat_idx = idx_pad.reshape(bb, pp * nt)
+            if use_onehot:
+                Gfeat = feats_pad.astype(cdt).reshape(bb, qq, na * c_in)
+                Ga = sampling.gather_rows_onehot(Gfeat, flat_idx)
+                raw = jax.lax.stop_gradient(
+                    sampling.gather_rows_onehot(xyz_cols, flat_idx)[..., :3])
+                extra_lanes = 0
+            else:
+                Gflat = jnp.concatenate(
+                    [feats_pad.astype(cdt).reshape(bb, qq, na * c_in),
+                     xyz_cols], axis=-1)
+                Ga = jnp.take_along_axis(
+                    Gflat, flat_idx[:, :, None], axis=1,
+                    mode='promise_in_bounds')
+                raw = jax.lax.stop_gradient(
+                    Ga[:, :, na * c_in:na * c_in + n_xyz_lanes])
+                if cdt != jnp.float32:
+                    raw = (raw[..., :3].astype(jnp.float32)
+                           + raw[..., 3:6].astype(jnp.float32))
+                extra_lanes = 8
             grouped = (raw.reshape(bb, pp, nt, 3)
                        - new_xyz[:, :, None, :])
             gx8 = plic.make_gx8(grouped, nt)
             F = plic.fused_neighbor_conv(gx8, Ga, rk8, float(sigma),
-                                         tp, kt, nt, chunk, 8, interpret)
+                                         tp, kt, nt, chunk, extra_lanes,
+                                         interpret)
             # [b, na, p, k~, c] x [k~, c, d] — pad rows of F are exactly 0
             return jnp.einsum('bapkc,kcd->bpad', F.astype(cdt),
                               W_pad.astype(cdt),

@@ -159,3 +159,17 @@ def test_inter_grouping_ball_shapes_and_localization():
     gx = np.asarray(gx)
     real = np.linalg.norm(gx, axis=-1) < 100
     assert (np.linalg.norm(gx, axis=-1)[real] < 0.5 + 1e-5).all()
+
+
+def test_gather_rows_onehot_matches_gather():
+    """The one-hot MXU gather is an exact selection: bitwise equal to the
+    plain gather in both fp32 (HIGHEST-precision split) and bf16 modes."""
+    rng = np.random.RandomState(3)
+    for dtype in (np.float32, jnp.bfloat16):
+        table = jnp.asarray(rng.randn(3, 65, 200).astype(np.float32)).astype(dtype)
+        idx = jnp.asarray(rng.randint(0, 65, size=(3, 300)).astype(np.int32))
+        direct = jnp.take_along_axis(table, idx[:, :, None], axis=1)
+        onehot = sampling.gather_rows_onehot(table, idx)
+        assert onehot.dtype == table.dtype
+        np.testing.assert_array_equal(np.asarray(direct, np.float32),
+                                      np.asarray(onehot, np.float32))
