@@ -103,11 +103,22 @@ def bench_train(batch=12, input_num=1024, kanchor=60, iters=10):
         state = state.apply_gradients(grads=grads)
         return state.replace(batch_stats=mut['batch_stats']), aux['cls_loss']
 
-    state, loss = train_step(state, x, label, rlabel)
+    # Chain `iters` steps inside ONE dispatch (lax.scan with the state as
+    # carry): per-call dispatch through the device tunnel is heavy for a
+    # donated state pytree and would otherwise dominate wall time.
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_chain(state, pc, label, rlabel):
+        def body(st, _):
+            st, loss = train_step(st, pc, label, rlabel)
+            return st, loss
+        return jax.lax.scan(body, state, None, length=iters)
+
+    state, loss = train_step(state, x, label, rlabel)  # warm the body
+    state, losses_ = train_chain(state, x, label, rlabel)
+    float(losses_[-1])                                 # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss = train_step(state, x, label, rlabel)
-    float(loss)
+    state, losses_ = train_chain(state, x, label, rlabel)
+    float(losses_[-1])
     dt = (time.perf_counter() - t0) / iters
     return batch / dt, dt
 

@@ -149,31 +149,64 @@ def _precision(dtype):
             else jax.lax.Precision.DEFAULT)
 
 
-def _fwd_kernel(gx8_ref, g_ref, rk8_ref, out_ref, *, sigma, tp, kt, nt,
-                n_sub, ac, c):
+def _conv_body(gx8, g_of, rk8_ref, out_ref, *, sigma, tp, kt, nt, n_sub,
+               ac, c, gdt):
+    """Shared forward inner loop: per anchor, one masked-d2 dot and one
+    block-diagonal GEMM per subtile. `g_of(a)` yields the [T*N~, C]
+    neighbor-major feature block for anchor a."""
     s = tp * nt
     inv_sigma = jnp.float32(1.0 / sigma)
-    gdt = g_ref.dtype
     prec = _precision(gdt)
-    gx8 = gx8_ref[0]                                           # [16, T*N~]
     for a in range(ac):
         # one wide K=16 dot per anchor: masked d2 for every subtile at once
         d2_all = jax.lax.dot_general(
             rk8_ref[a], gx8, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec)                                    # [R, T*N~]
+        g_a = g_of(a)                                          # [T*N~, C]
         for st in range(n_sub):
             d2 = d2_all[:, st * s:(st + 1) * s]                # [R, S]
             bd = jax.nn.relu(1.0 - d2 * inv_sigma).astype(gdt)
-            # G is neighbor-major with flat (anchor, channel) lanes — the
-            # layout the big row-gather produces with zero reshuffling
-            g_sub = g_ref[0, st * s:(st + 1) * s, a * c:(a + 1) * c]
+            g_sub = g_a[st * s:(st + 1) * s, :]
             f = jax.lax.dot_general(
                 bd, g_sub, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec)                                # [R, C]
             out_ref[0, a, st * tp:(st + 1) * tp] = (
                 f.reshape(tp, kt, c).astype(out_ref.dtype))
+
+
+def _fwd_kernel(gx8_ref, g_ref, rk8_ref, out_ref, *, sigma, tp, kt, nt,
+                n_sub, ac, c):
+    # G is neighbor-major with flat (anchor, channel) lanes — the layout
+    # the big row-gather produces with zero reshuffling
+    _conv_body(gx8_ref[0], lambda a: g_ref[0, :, a * c:(a + 1) * c],
+               rk8_ref, out_ref, sigma=sigma, tp=tp, kt=kt, nt=nt,
+               n_sub=n_sub, ac=ac, c=c, gdt=g_ref.dtype)
+
+
+def _fwd_gather_kernel(gx8_ref, idx_ref, tab_ref, rk8_ref, out_ref, *,
+                       sigma, tp, kt, nt, n_sub, ac, c):
+    """Forward with the megagather fused in: instead of streaming gathered
+    [T*N~, AC*C] feature rows from HBM (written there by an XLA gather or
+    one-hot GEMM), stream the [Q~, AC*C] support table once per anchor
+    chunk and select rows in VMEM with a one-hot MXU GEMM — the 2 GB/layer
+    HBM round trip of the gathered tensor disappears. Exact: one-hot rows
+    select with fp32 accumulation."""
+    gdt = tab_ref.dtype
+    prec = _precision(gdt)
+    idxv = idx_ref[0, 0]                                       # [T*N~] int32
+    rows = idxv.shape[0]
+    qp = tab_ref.shape[1]
+    iot = jax.lax.broadcasted_iota(jnp.int32, (rows, qp), 1)
+    s_onehot = (iot == idxv[:, None]).astype(gdt)              # [T*N~, Q~]
+    g_all = jax.lax.dot_general(
+        s_onehot, tab_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec).astype(gdt)                            # [T*N~, AC*C]
+    _conv_body(gx8_ref[0], lambda a: g_all[:, a * c:(a + 1) * c],
+               rk8_ref, out_ref, sigma=sigma, tp=tp, kt=kt, nt=nt,
+               n_sub=n_sub, ac=ac, c=c, gdt=gdt)
 
 
 def _bwd_kernel(gx8_ref, df_ref, rk8_ref, dg_ref, *, sigma, tp, kt, nt,
@@ -213,6 +246,71 @@ def _pick_n_sub(p: int, tp: int, kt: int, nt: int, c: int, ac: int,
     while (p // tp) % n_sub != 0:
         n_sub -= 1
     return n_sub
+
+
+def _pick_n_sub_gather(p: int, tp: int, kt: int, nt: int, c: int, ac: int,
+                       qp: int, g_itemsize: int, o_itemsize: int) -> int:
+    """Subtiles per block for the gather-fused kernel: the support-table
+    block is grid-step-fixed; S and the gathered G scale with n_sub."""
+    budget = 8 * 1024 * 1024
+    fixed = qp * ac * c * g_itemsize               # support table block
+    per_sub = (16 * tp * nt * 4                    # gx16 block rows
+               + tp * nt * 4                       # idx rows
+               + tp * nt * qp * g_itemsize         # one-hot S
+               + 2 * tp * nt * ac * c * g_itemsize  # gathered G (f32 + gdt)
+               + ac * tp * kt * c * o_itemsize)    # out block
+    n_sub = max(1, (budget - 2 * fixed) // (2 * per_sub))
+    n_sub = min(n_sub, p // tp)
+    while (p // tp) % n_sub != 0:
+        n_sub -= 1
+    return n_sub
+
+
+def gather_fusable(q: int, ac: int, c: int, itemsize: int) -> bool:
+    """Gate for the gather-fused forward: the whole support-table anchor
+    chunk must fit VMEM comfortably alongside the working set."""
+    qp = _round_up(q, 8)
+    return qp * ac * c * itemsize <= 4 * 1024 * 1024 and qp <= 2048
+
+
+def _call_gather(gx8, idx3, tab, rk8, out_shape, sigma, tp, kt, nt, ac,
+                 interpret, c):
+    """pallas_call wiring for the gather-fused forward kernel.
+
+    idx3 [B, 1, P*N~] int32 neighbor rows; tab [B, Q~, NA*C] support table
+    (shadow row included, padded to Q~ = ceil8(q)); gx8/rk8 as in _call."""
+    b = gx8.shape[0]
+    na = rk8.shape[0]
+    assert na % ac == 0, (na, ac)
+    qp = tab.shape[1]
+    p = gx8.shape[2] // nt
+    n_sub = _pick_n_sub_gather(p, tp, kt, nt, c, ac, qp,
+                               tab.dtype.itemsize, out_shape.dtype.itemsize)
+    t = n_sub * tp
+    return pl.pallas_call(
+        functools.partial(_fwd_gather_kernel, sigma=float(sigma), tp=tp,
+                          kt=kt, nt=nt, n_sub=n_sub, ac=ac, c=c),
+        grid=(b, p // t, na // ac),
+        in_specs=[
+            pl.BlockSpec((1, 16, t * nt), lambda bb, pt, ci: (bb, 0, pt)),
+            pl.BlockSpec((1, 1, t * nt), lambda bb, pt, ci: (bb, 0, pt)),
+            pl.BlockSpec((1, qp, ac * c), lambda bb, pt, ci: (bb, 0, ci)),
+            pl.BlockSpec((ac, 16, tp * kt), lambda bb, pt, ci: (ci, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ac, t, kt, c),
+                               lambda bb, pt, ci: (bb, ci, pt, 0, 0)),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * b * p * na * (tp * kt) * nt * c
+                   + 2 * b * p * nt * qp * na * c),
+            bytes_accessed=(tab.size * tab.dtype.itemsize * (p // t)
+                            + int(np.prod(out_shape.shape))
+                            * out_shape.dtype.itemsize),
+            transcendentals=0),
+        interpret=interpret,
+    )(gx8, idx3, tab, rk8)
 
 
 def _call(kernel, gx8, gdata, rk8, out_shape, sigma, tp, kt, nt, ac,
@@ -311,6 +409,59 @@ def _fused_bwd(sigma, tp, kt, nt, ac, extra_lanes, interpret, res, df):
 
 
 fused_neighbor_conv.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def fused_gather_neighbor_conv(gx8, idx3, table, rk8, sigma, tp, kt, nt,
+                               ac=None, interpret=False):
+    """fused_neighbor_conv with the megagather fused into the kernel.
+
+    gx8 [B, 16, P*N~] (make_gx8); idx3 [B, 1, P*N~] int32 support-row
+    indices (shadow-padded to N~); table [B, Q~, NA*C] support features
+    (shadow row zero, rows >= q zero-padded to Q~ = ceil8(q)); rk8
+    [NA, 16, TP*K~]. Returns F [B, NA, P, K~, C] in table's dtype.
+
+    The backward runs the mirrored BD^T kernel to dG rows, then folds them
+    to dTable with the transposed one-hot einsum (an MXU GEMM, not a
+    scatter-add).
+    """
+    return _fgnc_fwd(gx8, idx3, table, rk8, sigma, tp, kt, nt, ac,
+                     interpret)[0]
+
+
+def _fgnc_fwd(gx8, idx3, table, rk8, sigma, tp, kt, nt, ac, interpret):
+    b, na = table.shape[0], rk8.shape[0]
+    p = gx8.shape[2] // nt
+    c = table.shape[-1] // na
+    out_shape = jax.ShapeDtypeStruct((b, na, p, kt, c), table.dtype)
+    f = _call_gather(gx8, idx3, table, rk8, out_shape, sigma, tp, kt, nt,
+                     ac or na, interpret, c)
+    # zero-size residual carries the (static) table row count + dtype
+    tab_meta = jnp.zeros((0, table.shape[1]), table.dtype)
+    return f, (gx8, idx3, rk8, tab_meta)
+
+
+def _fgnc_bwd(sigma, tp, kt, nt, ac, interpret, res, df):
+    gx8, idx3, rk8, tab_meta = res
+    tab_dtype = tab_meta.dtype
+    b, na, p, _, c = df.shape
+    gdt = df.dtype
+    dg_shape = jax.ShapeDtypeStruct((b, p * nt, na * c), gdt)
+    dg = _call(_bwd_kernel, gx8, df.astype(gdt), rk8, dg_shape, sigma, tp,
+               kt, nt, ac or na, gdata_p_dim='tiled', out_p_dim='flat',
+               interpret=interpret, gdata_c=c)
+    qp = tab_meta.shape[1]
+    prec = (jax.lax.Precision.HIGHEST if tab_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    s_onehot = jax.nn.one_hot(idx3[:, 0, :], qp, dtype=gdt)
+    dtab = jnp.einsum('brq,brl->bql', s_onehot, dg,
+                      preferred_element_type=jnp.float32,
+                      precision=prec).astype(tab_dtype)
+    return (jnp.zeros_like(gx8), np.zeros(idx3.shape, jax.dtypes.float0),
+            dtab, jnp.zeros_like(rk8))
+
+
+fused_gather_neighbor_conv.defvjp(_fgnc_fwd, _fgnc_bwd)
 
 
 def reference_F(grouped_xyz, G, rk, k2, sigma, kt):

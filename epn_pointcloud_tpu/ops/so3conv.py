@@ -285,6 +285,27 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
             bb, qq = feats_pad.shape[:2]
             pp = idx_pad.shape[1]
             flat_idx = idx_pad.reshape(bb, pp * nt)
+            if use_onehot and plic.gather_fusable(
+                    qq, chunk, c_in, jnp.dtype(cdt).itemsize):
+                # megagather fused into the kernel: the gathered [rows,
+                # na*c] tensor never exists in HBM; the kernel streams the
+                # support table per anchor chunk and one-hot-selects rows
+                # in VMEM (exact)
+                tab = feats_pad.astype(cdt).reshape(bb, qq, na * c_in)
+                qp = -(-qq // 8) * 8
+                if qp > qq:
+                    tab = jnp.pad(tab, ((0, 0), (0, qp - qq), (0, 0)))
+                raw = jax.lax.stop_gradient(
+                    sampling.gather_rows_onehot(xyz_cols, flat_idx)[..., :3])
+                grouped = (raw.reshape(bb, pp, nt, 3)
+                           - new_xyz[:, :, None, :])
+                gx8 = plic.make_gx8(grouped, nt)
+                F = plic.fused_gather_neighbor_conv(
+                    gx8, flat_idx[:, None, :], tab, rk8, float(sigma),
+                    tp, kt, nt, chunk, interpret)
+                return jnp.einsum('bapkc,kcd->bpad', F.astype(cdt),
+                                  W_pad.astype(cdt),
+                                  preferred_element_type=jnp.float32)
             if use_onehot:
                 Gfeat = feats_pad.astype(cdt).reshape(bb, qq, na * c_in)
                 Ga = sampling.gather_rows_onehot(Gfeat, flat_idx)

@@ -129,3 +129,52 @@ def test_fused_layer_shard_map_multidevice():
                                    rtol=1e-4, atol=1e-4)
     finally:
         pmesh.set_global_mesh(None)
+
+
+@pytest.mark.parametrize('B,P,N,AC,K,C,Q', [
+    (2, 32, 12, 3, 24, 64, 61),
+    (1, 16, 32, 5, 30, 128, 33),
+])
+def test_gather_fused_kernel_vs_oracle(B, P, N, AC, K, C, Q):
+    """fused_gather_neighbor_conv (megagather inside the kernel) equals the
+    oracle fed with explicitly gathered rows, forward and VJP (dTable)."""
+    rng = np.random.RandomState(1)
+    gx = jnp.asarray(rng.randn(B, P, N, 3).astype(np.float32) * 0.3)
+    tab = jnp.asarray(rng.randn(B, Q, AC * C).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, Q, size=(B, P, N)).astype(np.int32))
+    anch = jnp.asarray(rng.randn(AC, 3, 3).astype(np.float32))
+    ker = jnp.asarray(rng.randn(K, 3).astype(np.float32) * 0.3)
+    rk = jnp.einsum('aij,kj->aki', anch, ker)
+    k2 = jnp.sum(ker ** 2, -1)
+    sigma = 0.1
+    nt, tp, kt, _ = ic.plan(N, K)
+    gx8 = ic.make_gx8(gx, nt)
+    rk8 = ic.make_rk8(rk, k2, tp, kt)
+
+    qp = -(-Q // 8) * 8
+    tabp = jnp.pad(tab, ((0, 0), (0, qp - Q), (0, 0)))
+    idx_pad = jnp.pad(idx, ((0, 0), (0, 0), (0, nt - N)),
+                      constant_values=Q - 1)
+    idx3 = idx_pad.reshape(B, 1, P * nt)
+
+    def fwd_fused(tabp):
+        return ic.fused_gather_neighbor_conv(gx8, idx3, tabp, rk8, sigma,
+                                             tp, kt, nt, None, True)
+
+    def fwd_oracle(tabp):
+        # explicit gather -> [B, AC, P, N, C] -> oracle; pad rows select
+        # real rows (idx < Q) so padded-Q lanes never contribute
+        g = jnp.take_along_axis(tabp, idx_pad.reshape(B, -1, 1), axis=1)
+        g = g.reshape(B, P, nt, AC, C)[:, :, :N]
+        return ic.reference_F(gx, jnp.transpose(g, (0, 3, 1, 2, 4)),
+                              rk, k2, sigma, kt)
+
+    f = fwd_fused(tabp)
+    ref = fwd_oracle(tabp)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    g1 = jax.grad(lambda t: jnp.sum(jnp.sin(fwd_fused(t))))(tabp)
+    g2 = jax.grad(lambda t: jnp.sum(jnp.sin(fwd_oracle(t))))(tabp)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-3)
