@@ -88,6 +88,23 @@ def supported(n_neighbor: int, c_in: int) -> bool:
     return n_neighbor <= 128 and c_in >= 32
 
 
+def layer_fusable(p2: int, n_neighbor: int, k: int, c_in: int, na: int,
+                  chunk: int, onehot: bool) -> bool:
+    """Mosaic tiling gate for a whole fused layer (call before committing to
+    the Pallas path; violations fall back to the XLA formulation).
+
+    - The point grid walks tiles of TP rows: p2 must divide into them (small
+      configs reach p2 < TP at deep strides).
+    - The anchor-chunk grid dimension offsets (chunk*c_in)-wide lane blocks,
+      which Mosaic requires to be 128-aligned — unless one chunk covers the
+      whole lane dim, which only matches the array when no coordinate lanes
+      are appended (the one-hot gather path)."""
+    nt, tp, _, _ = plan(n_neighbor, k)
+    if p2 % tp != 0:
+        return False
+    return (chunk * c_in) % 128 == 0 or (chunk == na and onehot)
+
+
 def make_rk8(rk: jnp.ndarray, k2: jnp.ndarray, tp: int, kt: int) -> jnp.ndarray:
     """[AC, K, 3] rotated kernels + [K] squared norms -> [AC, 16, TP*K~]
     pre-tiled distance+mask-fold operand (see module docstring)."""

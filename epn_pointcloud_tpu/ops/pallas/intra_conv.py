@@ -66,11 +66,15 @@ def _fwd_pallas(f_flat, w2, trace_idx, t, interpret):
     c = nac // na
     d = w2.shape[1] // nk
     pairs = _pairs(trace_idx)
-    p = p_total
+    # sublane-align the point dim (Mosaic block rows must be multiples of 8;
+    # the flagship strides keep p a power of two, but small configs reach
+    # p=4 at the deepest block)
+    p = p_total + (-p_total) % 8
+    if p > p_total:
+        f_flat = jnp.pad(f_flat, ((0, 0), (0, p - p_total), (0, 0)))
     while p % t != 0:
         t -= 8
-    t = max(t, 8)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, pairs=pairs, na=na, nk=nk, c=c, d=d),
         grid=(b, p // t),
         in_specs=[
@@ -89,6 +93,7 @@ def _fwd_pallas(f_flat, w2, trace_idx, t, interpret):
             transcendentals=0),
         interpret=interpret,
     )(f_flat, w2)
+    return out[:, :p_total] if p > p_total else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

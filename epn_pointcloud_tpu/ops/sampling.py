@@ -54,7 +54,12 @@ def gather_rows_onehot(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out.astype(table.dtype)
 
 
+_FORCE_ONEHOT = False   # tests: exercise the one-hot paths on CPU
+
+
 def _onehot_profitable(q: int, rows: int, lanes: int) -> bool:
+    if _FORCE_ONEHOT:
+        return True
     return (jax.default_backend() == 'tpu' and q <= _ONEHOT_MAX_Q
             and rows >= _ONEHOT_MIN_ROWS and lanes >= 128)
 

@@ -214,6 +214,14 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
     else:
         use_pl = use_pallas
     use_pl = use_pl and plic.supported(n_neighbor, c_in)
+    if use_pl:
+        p1 = xyz.shape[1]
+        p2_pre = -(-p1 // stride)
+        nt_pre = plic.plan(n_neighbor, kernels.shape[0])[0]
+        onehot_pre = sampling._onehot_profitable(
+            p1 + 1, p2_pre * nt_pre, na * c_in + 8)
+        use_pl = plic.layer_fusable(p2_pre, n_neighbor, kernels.shape[0],
+                                    c_in, na, chunk, onehot_pre)
 
     # Multi-device: Pallas calls are opaque to GSPMD, so under a bare pjit
     # they would force replication. With an installed global ('data',
@@ -285,13 +293,21 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
             bb, qq = feats_pad.shape[:2]
             pp = idx_pad.shape[1]
             flat_idx = idx_pad.reshape(bb, pp * nt)
+            # per-anchor channel stride. (Padding c=64 to 128 for aligned
+            # lane slices was measured SLOWER: the 2x one-hot-GEMM/table
+            # cost far outweighs the misaligned-slice penalty.)
+            cs = c_in
             if use_onehot and plic.gather_fusable(
-                    qq, chunk, c_in, jnp.dtype(cdt).itemsize):
+                    qq, chunk, cs, jnp.dtype(cdt).itemsize):
                 # megagather fused into the kernel: the gathered [rows,
                 # na*c] tensor never exists in HBM; the kernel streams the
                 # support table per anchor chunk and one-hot-selects rows
                 # in VMEM (exact)
-                tab = feats_pad.astype(cdt).reshape(bb, qq, na * c_in)
+                tabf = feats_pad.astype(cdt)
+                if cs != c_in:
+                    tabf = jnp.pad(tabf,
+                                   ((0, 0), (0, 0), (0, 0), (0, cs - c_in)))
+                tab = tabf.reshape(bb, qq, na * cs)
                 qp = -(-qq // 8) * 8
                 if qp > qq:
                     tab = jnp.pad(tab, ((0, 0), (0, qp - qq), (0, 0)))
@@ -303,8 +319,10 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                 F = plic.fused_gather_neighbor_conv(
                     gx8, flat_idx[:, None, :], tab, rk8, float(sigma),
                     tp, kt, nt, chunk, interpret)
+                Wp = (W_pad if cs == c_in else
+                      jnp.pad(W_pad, ((0, 0), (0, cs - c_in), (0, 0))))
                 return jnp.einsum('bapkc,kcd->bpad', F.astype(cdt),
-                                  W_pad.astype(cdt),
+                                  Wp.astype(cdt),
                                   preferred_element_type=jnp.float32)
             if use_onehot:
                 Gfeat = feats_pad.astype(cdt).reshape(bb, qq, na * c_in)

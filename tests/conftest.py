@@ -2,8 +2,10 @@ import os
 
 # Tests run on CPU with a virtual 8-device mesh so multi-chip sharding is
 # exercised without TPU hardware (the driver separately dry-runs multichip).
-# NOTE: the axon TPU plugin in this image ignores JAX_PLATFORMS; only
-# JAX_PLATFORM_NAME reliably forces the CPU backend.
+# NOTE: /root/.axon_site/sitecustomize.py imports jax at interpreter startup,
+# so env vars set here are too late for backend *registration* — but backend
+# *initialization* is lazy, so jax.config.update below still wins. The env
+# vars are kept for subprocesses spawned by tests.
 os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ['JAX_PLATFORM_NAME'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
@@ -16,4 +18,7 @@ os.environ.setdefault('JAX_ENABLE_X64', 'false')
 # fp32 matmuls as bf16 passes).
 import jax  # noqa: E402
 
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_default_matmul_precision', 'highest')
+assert jax.default_backend() == 'cpu', jax.default_backend()
+assert jax.device_count() == 8, jax.device_count()

@@ -178,3 +178,56 @@ def test_gather_fused_kernel_vs_oracle(B, P, N, AC, K, C, Q):
     g2 = jax.grad(lambda t: jnp.sum(jnp.sin(fwd_oracle(t))))(tabp)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=2e-4, atol=2e-3)
+
+
+def test_fused_layer_onehot_gather_branch_matches_xla():
+    """The gather-fused (in-kernel one-hot) layer branch — forced on CPU via
+    sampling._FORCE_ONEHOT — equals the XLA path, fwd + grads, including the
+    channel-stride (cs=128) alignment padding for c=64."""
+    from epn_pointcloud_tpu.ops import sampling
+    rng = np.random.RandomState(2)
+    b, p, a, c, cout, n, K = 2, 64, 20, 64, 48, 12, 24
+    xyz = jnp.asarray(rng.randn(b, p, 3).astype(np.float32) * 0.3)
+    feats = jnp.asarray(rng.randn(b, p, a, c).astype(np.float32))
+    anchors = jnp.asarray(ico.get_anchors(a).astype(np.float32))
+    kernels = jnp.asarray(rng.randn(K, 3).astype(np.float32) * 0.2)
+    W = jnp.asarray(rng.randn(K, c, cout).astype(np.float32) * 0.05)
+
+    def run(use_pl, force):
+        sampling._FORCE_ONEHOT = force
+        try:
+            def f(feats, W):
+                return so3conv.inter_so3conv_fused(
+                    xyz, feats, 2, n, anchors, kernels, 0.4, 0.08, W,
+                    lazy_sample=True, anchor_chunk=10, remat=False,
+                    use_pallas=use_pl)[2]
+            out = f(feats, W)
+            g = jax.grad(lambda fe, w: jnp.sum(jnp.sin(f(fe, w))),
+                         argnums=(0, 1))(feats, W)
+            return out, g
+        finally:
+            sampling._FORCE_ONEHOT = False
+
+    out_ref, g_ref = run(False, False)
+    out_f, g_f = run(True, True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-4)
+    for gf, gr in zip(g_f, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-3)
+
+
+def test_layer_fusable_gate():
+    """Mosaic tiling gate (regression: kpconv na=1 crashed lowering with a
+    64-lane block over a 72-lane array; p2=4 configs produced a zero grid)."""
+    # flagship layers: fusable
+    assert ic.layer_fusable(512, 16, 24, 64, 60, 20, True)
+    assert ic.layer_fusable(64, 32, 24, 256, 60, 20, False)
+    # na=1 kpconv: 1*64 lanes, not 128-aligned, coord lanes appended
+    assert not ic.layer_fusable(64, 8, 66, 64, 1, 1, False)
+    # ...but fine via the one-hot path where block == array lanes
+    assert ic.layer_fusable(64, 8, 66, 64, 1, 1, True)
+    # deep small-config block: p2=4 < TP=8 (nn=16)
+    assert not ic.layer_fusable(4, 16, 24, 256, 60, 20, True)
+    # odd chunk: 15*64 = 960 lanes, not 128-aligned
+    assert not ic.layer_fusable(512, 16, 24, 64, 60, 15, False)

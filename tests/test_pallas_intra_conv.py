@@ -43,3 +43,22 @@ def test_intra_kernel_vs_oracle():
                                np.asarray(g2[0]), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_intra_kernel_pads_unaligned_point_count():
+    """p=4 < the 8-sublane tile (deepest block of small configs) — the
+    kernel pads rows and slices back (regression: ZeroDivisionError in the
+    tile-size search)."""
+    rng = np.random.RandomState(1)
+    ti = ico.get_intra_idx()
+    na, nk = ti.shape
+    b, p, c, d = 2, 4, 16, 24
+    f = jnp.asarray(rng.randn(b, p, na, c).astype(np.float32))
+    W = jnp.asarray(rng.randn(nk, c, d).astype(np.float32) * 0.1)
+    w2 = jnp.transpose(W, (1, 0, 2)).reshape(c, nk * d)
+    tit = tuple(map(tuple, ti.tolist()))
+    out = intra_conv(f.reshape(b, p, na * c), w2, tit, 64, True)
+    assert out.shape == (b, p, na * d)
+    ref = jnp.einsum('bpakc,kcd->bpad', f[:, :, ti, :], W)
+    np.testing.assert_allclose(np.asarray(out.reshape(b, p, na, d)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
