@@ -481,6 +481,237 @@ def _fgnc_bwd(sigma, tp, kt, nt, ac, interpret, res, df):
 fused_gather_neighbor_conv.defvjp(_fgnc_fwd, _fgnc_bwd)
 
 
+# ---------------------------------------------------------------------------
+# W-fused variant: the learned (k, c) -> d contraction (the reference
+# BasicSO3Conv matmul, so3conv/modules.py:48-55) runs INSIDE the kernel on
+# VMEM-resident f slabs, so the [b, na, p, k~, c] F tensor never exists in
+# HBM. On the flagship model F is 1.5-3 GB per layer; the XLA learned GEMM
+# that consumed it ran HBM-bound at 23-46 TF/s (measured), and the kernel
+# paid to write it. Here the BD rows are ordered k-major so each kernel
+# slot's [TP, C] block is a contiguous sublane slab, collected across
+# subtiles into an [K~, T, C] scratch and contracted as K~ [T, C] x [C, D]
+# MXU GEMMs with f32 ref accumulation.
+# ---------------------------------------------------------------------------
+
+
+def make_rk8_kmajor(rk: jnp.ndarray, k2: jnp.ndarray, tp: int,
+                    kt: int) -> jnp.ndarray:
+    """make_rk8 with rows ordered (k, t') instead of (t', k): row r = k*TP+t'.
+
+    The BD product's rows inherit this order, so f[k*TP:(k+1)*TP] is kernel
+    slot k's [TP, C] block — sublane-sliceable for the in-kernel learned
+    GEMM."""
+    ac, k, _ = rk.shape
+    base = jnp.concatenate([
+        -2.0 * rk,
+        jnp.ones((ac, k, 1), rk.dtype),
+        jnp.broadcast_to(k2.reshape(1, k, 1), (ac, k, 1)),
+        jnp.zeros((ac, k, 3), rk.dtype),
+    ], axis=-1)                                            # [AC, K, 8]
+    if kt > k:
+        pad = (jnp.zeros((ac, kt - k, 8), rk.dtype)
+               .at[:, :, 3].set(1.0).at[:, :, 4].set(_BIG))
+        base = jnp.concatenate([base, pad], axis=1)        # [AC, K~, 8]
+    tiled = jnp.repeat(base, tp, axis=1)                   # rows (k, t')
+    t_of_row = np.tile(np.arange(tp), kt)                  # [K~*TP]
+    mrows = _BIG * (np.arange(8)[None, :] != t_of_row[:, None])
+    mrows = mrows * (np.arange(8)[None, :] < tp)
+    mask_fold = jnp.broadcast_to(
+        jnp.asarray(mrows, rk.dtype)[None], (ac, kt * tp, 8))
+    full = jnp.concatenate([tiled, mask_fold], axis=-1)    # [AC, K~*TP, 16]
+    return jnp.transpose(full, (0, 2, 1))                  # [AC, 16, TP*K~]
+
+
+def _pick_n_sub_gather_w(p: int, tp: int, kt: int, nt: int, c: int, d: int,
+                         ac: int, qp: int, g_itemsize: int) -> int:
+    """Subtiles per block for the W-fused gather kernel. Must satisfy
+    n_sub % grp == 0 (grp subtiles batch into one 8-sublane-aligned fs
+    store) and n_sub | (p // tp). Returns 0 if unsatisfiable."""
+    grp = max(1, 8 // tp)
+    budget = 10 * 1024 * 1024
+    fixed = (qp * ac * c + kt * c * d) * g_itemsize
+    per_sub = (16 * tp * nt * 4                 # gx16 rows
+               + tp * nt * 4                    # idx rows
+               + tp * nt * qp * g_itemsize      # one-hot S
+               + 2 * tp * nt * ac * c * g_itemsize   # gathered g (f32+gdt)
+               + kt * ac * tp * max(c, 128) * g_itemsize  # fs slab
+               + tp * ac * d * 4                # out block
+               + tp * ac * d * 4)               # acc
+    n_sub = max(grp, (budget - 2 * fixed) // (2 * per_sub))
+    n_sub = min(n_sub, p // tp)
+    while n_sub >= grp and ((p // tp) % n_sub != 0 or n_sub % grp != 0):
+        n_sub -= 1
+    return n_sub if n_sub >= grp else 0
+
+
+def gather_w_fusable(p2: int, qp: int, ac: int, c: int, d: int, kt: int,
+                     nt: int, tp: int, itemsize: int) -> bool:
+    """Gate for the W-fused gather kernel (on top of gather_fusable)."""
+    if (ac * d) % 128 != 0:
+        return False
+    return _pick_n_sub_gather_w(p2, tp, kt, nt, c, d, ac, qp, itemsize) > 0
+
+
+def _fwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
+                         out_ref, fs, acc, *, sigma, tp, kt, nt, n_sub, ac,
+                         c, d):
+    """Gather + BD conv + learned GEMM, one grid step = (batch, point tile,
+    anchor chunk). fs [K~, AC*T, C] collects the conv output k-major across
+    the WHOLE anchor chunk (row a*T+t), so the learned contraction runs as
+    just K~ GEMMs [AC*T, C] x [C, D] with a full MXU M dimension (AC*T
+    ~320) — per-anchor GEMMs with M = T ran at 12 TF/s measured."""
+    gdt = tab_ref.dtype
+    prec = _precision(gdt)
+    idxv = idx_ref[0, 0]                                       # [T*N~] int32
+    rows = idxv.shape[0]
+    qp = tab_ref.shape[1]
+    iot = jax.lax.broadcasted_iota(jnp.int32, (rows, qp), 1)
+    s_onehot = (iot == idxv[:, None]).astype(gdt)
+    g_all = jax.lax.dot_general(
+        s_onehot, tab_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec).astype(gdt)                            # [T*N~, AC*C]
+    s = tp * nt
+    t = n_sub * tp
+    grp = max(1, 8 // tp)
+    inv_sigma = jnp.float32(1.0 / sigma)
+    for a in range(ac):
+        d2_all = jax.lax.dot_general(
+            rk8k_ref[a], gx8_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                                    # [R, T*N~]
+        pend = []
+        for st in range(n_sub):
+            d2 = d2_all[:, st * s:(st + 1) * s]                # [R, S]
+            bd = jax.nn.relu(1.0 - d2 * inv_sigma).astype(gdt)
+            g_sub = g_all[st * s:(st + 1) * s, a * c:(a + 1) * c]
+            f = jax.lax.dot_general(
+                bd, g_sub, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec).astype(gdt)                    # [R, C] k-major
+            pend.append(f.reshape(kt, tp, c))
+            if len(pend) == grp:
+                blk = pend[0] if grp == 1 else jnp.concatenate(pend, axis=1)
+                off = a * t + (st + 1 - grp) * tp
+                fs[:, off:off + grp * tp, :] = blk
+                pend = []
+    acc[:] = jnp.zeros_like(acc)
+    for k in range(kt):
+        acc[:] += jax.lax.dot_general(
+            fs[k], w2_ref[k * c:(k + 1) * c, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                                    # [AC*T, D]
+    for a in range(ac):
+        out_ref[0, :, a * d:(a + 1) * d] = (
+            acc[a * t:(a + 1) * t].astype(out_ref.dtype))
+
+
+def _call_gather_w(gx8, idx3, tab, rk8k, w2, sigma, tp, kt, nt, ac,
+                   interpret, c, d):
+    b = gx8.shape[0]
+    na = rk8k.shape[0]
+    assert na % ac == 0, (na, ac)
+    qp = tab.shape[1]
+    p = gx8.shape[2] // nt
+    gdt = tab.dtype
+    n_sub = _pick_n_sub_gather_w(p, tp, kt, nt, c, d, ac, qp,
+                                 jnp.dtype(gdt).itemsize)
+    assert n_sub > 0, (p, tp, kt, nt, c, d, ac, qp)
+    t = n_sub * tp
+    out_shape = jax.ShapeDtypeStruct((b, p, na * d), jnp.float32)
+    # point tiles are the FASTEST grid dim so the support-table block stays
+    # VMEM-resident across them (it only changes with the anchor chunk)
+    return pl.pallas_call(
+        functools.partial(_fwd_gather_w_kernel, sigma=float(sigma), tp=tp,
+                          kt=kt, nt=nt, n_sub=n_sub, ac=ac, c=c, d=d),
+        grid=(b, na // ac, p // t),
+        in_specs=[
+            pl.BlockSpec((1, 16, t * nt), lambda bb, ci, pt: (bb, 0, pt)),
+            pl.BlockSpec((1, 1, t * nt), lambda bb, ci, pt: (bb, 0, pt)),
+            pl.BlockSpec((1, qp, ac * c), lambda bb, ci, pt: (bb, 0, ci)),
+            pl.BlockSpec((ac, 16, tp * kt), lambda bb, ci, pt: (ci, 0, 0)),
+            pl.BlockSpec((kt * c, d), lambda bb, ci, pt: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, ac * d),
+                               lambda bb, ci, pt: (bb, pt, ci)),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((kt, ac * t, c), gdt),
+                        pltpu.VMEM((ac * t, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * b * p * na * (tp * kt) * nt * c
+                   + 2 * b * p * nt * qp * na * c
+                   + 2 * b * p * na * kt * c * d),
+            bytes_accessed=(tab.size * tab.dtype.itemsize
+                            + b * p * na * d * 4
+                            + (na // ac) * b * gx8.size // b
+                            * gx8.dtype.itemsize),
+            transcendentals=0),
+        interpret=interpret,
+    )(gx8, idx3, tab, rk8k, w2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def fused_gather_conv_w(gx8, idx3, table, rk8k, rk8t, w2, sigma, tp, kt,
+                        nt, ac=None, interpret=False):
+    """fused_gather_neighbor_conv with the learned GEMM folded in.
+
+    w2 [K~*C, D] is the conv weight reshaped k-major (W[k, c, d] row k*C+c);
+    rk8k/rk8t are the k-major (forward) and t-major (backward) rk operands.
+    Returns out [B, P, NA*D] f32 = einsum('bapkc,kcd->bp(ad)', F, W) without
+    materializing F.
+    """
+    return _fgcw_fwd(gx8, idx3, table, rk8k, rk8t, w2, sigma, tp, kt, nt,
+                     ac, interpret)[0]
+
+
+def _fgcw_fwd(gx8, idx3, table, rk8k, rk8t, w2, sigma, tp, kt, nt, ac,
+              interpret):
+    na = rk8k.shape[0]
+    c = table.shape[-1] // na
+    d = w2.shape[1]
+    out = _call_gather_w(gx8, idx3, table, rk8k, w2, sigma, tp, kt, nt,
+                         ac or na, interpret, c, d)
+    return out, (gx8, idx3, table, rk8k, rk8t, w2)
+
+
+def _fgcw_bwd(sigma, tp, kt, nt, ac, interpret, res, dout):
+    """dTable via the mirrored BD^T kernel + transposed one-hot GEMM;
+    dW = F^T dOut with F recomputed by the (t-major) gather-fused kernel."""
+    gx8, idx3, table, rk8k, rk8t, w2 = res
+    b, na = table.shape[0], rk8t.shape[0]
+    p = gx8.shape[2] // nt
+    c = table.shape[-1] // na
+    d = w2.shape[1]
+    gdt = table.dtype
+    prec = _precision(gdt)
+    do5 = dout.reshape(b, p, na, d).astype(gdt)
+    W3 = w2.reshape(kt, c, d).astype(gdt)
+    dF = jnp.einsum('bpad,kcd->bapkc', do5, W3).astype(gdt)
+    dg_shape = jax.ShapeDtypeStruct((b, p * nt, na * c), gdt)
+    dg = _call(_bwd_kernel, gx8, dF, rk8t, dg_shape, sigma, tp, kt, nt,
+               ac or na, gdata_p_dim='tiled', out_p_dim='flat',
+               interpret=interpret, gdata_c=c)
+    qp = table.shape[1]
+    s_onehot = jax.nn.one_hot(idx3[:, 0, :], qp, dtype=gdt)
+    dtab = jnp.einsum('brq,brl->bql', s_onehot, dg,
+                      preferred_element_type=jnp.float32,
+                      precision=prec).astype(gdt)
+    F = fused_gather_neighbor_conv(gx8, idx3, table, rk8t, sigma, tp, kt,
+                                   nt, ac, interpret)
+    dw2 = jnp.einsum('bapkc,bpad->kcd', F.astype(gdt), do5,
+                     preferred_element_type=jnp.float32,
+                     precision=prec).reshape(kt * c, d).astype(w2.dtype)
+    return (jnp.zeros_like(gx8), np.zeros(idx3.shape, jax.dtypes.float0),
+            dtab, jnp.zeros_like(rk8k), jnp.zeros_like(rk8t), dw2)
+
+
+fused_gather_conv_w.defvjp(_fgcw_fwd, _fgcw_bwd)
+
+
 def reference_F(grouped_xyz, G, rk, k2, sigma, kt):
     """Plain-XLA oracle of the kernel contract (testing): returns
     [B, AC, P, K~, C] from gx [B,P,N,3], G [B,AC,P,N,C], rk [AC,K,3]."""

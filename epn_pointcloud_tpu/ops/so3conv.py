@@ -261,6 +261,7 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
         W_pad = jnp.pad(W, ((0, kt - W.shape[0]), (0, 0), (0, 0)))
         rk_all = jnp.einsum('aij,kj->aki', anchors, kernels)    # [na,k,3]
         rk8 = plic.make_rk8(rk_all, k2, tp, kt)
+        rk8k = plic.make_rk8_kmajor(rk_all, k2, tp, kt)
 
         support_pad = sampling.add_shadow_point(xyz)            # [b, q, 3]
         use_onehot = sampling._onehot_profitable(
@@ -287,7 +288,7 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
             xyz_cols = jnp.pad(packed, ((0, 0), (0, 0), (0, 2)))
             n_xyz_lanes = 6
 
-        def pl_layer(feats_pad, xyz_cols, idx_pad, new_xyz, rk8, W_pad):
+        def pl_layer(feats_pad, xyz_cols, idx_pad, new_xyz, rk8, rk8k, W_pad):
             # shapes derived from the args: under shard_map these are the
             # PER-SHARD extents (batch divided over the 'data' axis)
             bb, qq = feats_pad.shape[:2]
@@ -316,6 +317,17 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                 grouped = (raw.reshape(bb, pp, nt, 3)
                            - new_xyz[:, :, None, :])
                 gx8 = plic.make_gx8(grouped, nt)
+                d_out = W_pad.shape[-1]
+                if plic.gather_w_fusable(pp, tab.shape[1], chunk, cs, d_out,
+                                         kt, nt, tp, jnp.dtype(cdt).itemsize):
+                    # learned GEMM also fused: the [b, na, p, k~, c] F
+                    # tensor (1.5-3 GB/layer on the flagship; its XLA
+                    # consumer ran HBM-bound at 23-46 TF/s) never exists
+                    w2 = W_pad.astype(cdt).reshape(kt * cs, d_out)
+                    out = plic.fused_gather_conv_w(
+                        gx8, flat_idx[:, None, :], tab, rk8k, rk8, w2,
+                        float(sigma), tp, kt, nt, chunk, interpret)
+                    return out.reshape(bb, pp, na, d_out)
                 F = plic.fused_gather_neighbor_conv(
                     gx8, flat_idx[:, None, :], tab, rk8, float(sigma),
                     tp, kt, nt, chunk, interpret)
@@ -358,8 +370,9 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
             pl_layer = jax.checkpoint(pl_layer)
         if shard_mesh is not None:
             pl_layer = pmesh.data_shard_map(pl_layer, shard_mesh,
-                                            n_data_args=4, n_repl_args=2)
-        out = pl_layer(feats_pad, xyz_cols, idx_pad, new_xyz, rk8, W_pad)
+                                            n_data_args=4, n_repl_args=3)
+        out = pl_layer(feats_pad, xyz_cols, idx_pad, new_xyz, rk8, rk8k,
+                       W_pad)
         return inter_idx, new_xyz, out, sample_idx
 
     grouped_xyz, inter_idx, sample_idx, new_xyz = sampling.inter_grouping_ball(

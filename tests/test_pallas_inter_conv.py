@@ -231,3 +231,73 @@ def test_layer_fusable_gate():
     assert not ic.layer_fusable(4, 16, 24, 256, 60, 20, True)
     # odd chunk: 15*64 = 960 lanes, not 128-aligned
     assert not ic.layer_fusable(512, 16, 24, 64, 60, 15, False)
+
+
+@pytest.mark.parametrize('B,P,N,AC,K,C,D,Q', [
+    (2, 32, 12, 3, 24, 64, 48, 61),
+    (1, 16, 32, 5, 30, 64, 128, 33),
+])
+def test_gather_conv_w_kernel_vs_oracle(B, P, N, AC, K, C, D, Q):
+    """fused_gather_conv_w (megagather + BD conv + learned GEMM in one
+    kernel) equals oracle-F einsum W, forward and VJP (dTable, dW)."""
+    rng = np.random.RandomState(3)
+    gx = jnp.asarray(rng.randn(B, P, N, 3).astype(np.float32) * 0.3)
+    tab = jnp.asarray(rng.randn(B, Q, AC * C).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, Q, size=(B, P, N)).astype(np.int32))
+    anch = jnp.asarray(rng.randn(AC, 3, 3).astype(np.float32))
+    ker = jnp.asarray(rng.randn(K, 3).astype(np.float32) * 0.3)
+    rk = jnp.einsum('aij,kj->aki', anch, ker)
+    k2 = jnp.sum(ker ** 2, -1)
+    sigma = 0.1
+    nt, tp, kt, _ = ic.plan(N, K)
+    gx8 = ic.make_gx8(gx, nt)
+    rk8t = ic.make_rk8(rk, k2, tp, kt)
+    rk8k = ic.make_rk8_kmajor(rk, k2, tp, kt)
+    W = jnp.asarray(rng.randn(kt, C, D).astype(np.float32) * 0.1)
+    w2 = W.reshape(kt * C, D)
+
+    qp = -(-Q // 8) * 8
+    tabp = jnp.pad(tab, ((0, 0), (0, qp - Q), (0, 0)))
+    idx_pad = jnp.pad(idx, ((0, 0), (0, 0), (0, nt - N)),
+                      constant_values=Q - 1)
+    idx3 = idx_pad.reshape(B, 1, P * nt)
+
+    def fwd_fused(tabp, w2):
+        return ic.fused_gather_conv_w(gx8, idx3, tabp, rk8k, rk8t, w2,
+                                      sigma, tp, kt, nt, None, True)
+
+    def fwd_twostep(tabp, w2):
+        # the two-step kernel path (itself oracle-tested above): identical
+        # per-element w/f math, so only the learned-GEMM association differs
+        F = ic.fused_gather_neighbor_conv(gx8, idx3, tabp, rk8t, sigma,
+                                          tp, kt, nt, None, True)
+        out = jnp.einsum('bapkc,kcd->bpad', F, w2.reshape(kt, C, D),
+                         preferred_element_type=jnp.float32)
+        return out.reshape(B, P, AC * D)
+
+    def fwd_oracle(tabp, w2):
+        g = jnp.take_along_axis(tabp, idx_pad.reshape(B, -1, 1), axis=1)
+        g = g.reshape(B, P, nt, AC, C)[:, :, :N]
+        F = ic.reference_F(gx, jnp.transpose(g, (0, 3, 1, 2, 4)),
+                           rk, k2, sigma, kt)
+        out = jnp.einsum('bapkc,kcd->bpad', F, w2.reshape(kt, C, D))
+        return out.reshape(B, P, AC * D)
+
+    f = fwd_fused(tabp, w2)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(fwd_twostep(tabp, w2)),
+                               rtol=1e-5, atol=1e-4)
+    # loose sanity vs the from-scratch oracle (fp reassociation can flip
+    # relu-boundary weights, so only absolute closeness is meaningful)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(fwd_oracle(tabp, w2)),
+                               rtol=2e-2, atol=2e-3)
+
+    g1 = jax.grad(lambda t, w: jnp.sum(jnp.sin(fwd_fused(t, w))),
+                  argnums=(0, 1))(tabp, w2)
+    g2 = jax.grad(lambda t, w: jnp.sum(jnp.sin(fwd_twostep(t, w))),
+                  argnums=(0, 1))(tabp, w2)
+    for a, b in zip(g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        # normwise: elementwise relative is meaningless on near-zero grads
+        # (the tiny fwd fp difference rides through cos into every element)
+        rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert rel < 1e-3, rel
