@@ -87,11 +87,29 @@ class Dense1x1(fnn.Module):
     def __call__(self, x):
         fan_in = x.shape[-1]
         k = self.param('kernel', torch_linear_kernel_init, (fan_in, self.features))
-        y = jnp.einsum('...c,cd->...d', x, k)
+        y = jnp.einsum('...c,cd->...d', x, k.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_bias:
             b = self.param('bias', torch_linear_bias_init(fan_in), (self.features,))
-            y = y + b
+            y = y + b.astype(x.dtype)
         return y
+
+
+def _moments(x, axes, keepdims: bool = True):
+    """(mean, biased var) in f32.
+
+    f32 input: exact two-pass (torch parity). bf16: one-pass E[x^2]-E[x]^2
+    with f32 accumulation — the converts fuse into the reductions, so the
+    tensor is never materialized in f32 (a materialized f32 copy + layout
+    copy cost ~1.4 ms/layer, profiled)."""
+    if x.dtype == jnp.float32:
+        return (x.mean(axis=axes, keepdims=keepdims),
+                x.var(axis=axes, keepdims=keepdims))
+    mean = jnp.mean(x, axis=axes, keepdims=keepdims, dtype=jnp.float32)
+    m2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes,
+                  keepdims=keepdims)
+    var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    return mean, var
 
 
 class InstanceNorm(fnn.Module):
@@ -102,9 +120,9 @@ class InstanceNorm(fnn.Module):
 
     @fnn.compact
     def __call__(self, x, train: bool = True):  # train ignored (no stats)
-        mean = x.mean(axis=(1, 2), keepdims=True)
-        var = x.var(axis=(1, 2), keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        mean, var = _moments(x, axes=(1, 2))
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y.astype(x.dtype)
 
 
 class InstanceNorm1d(fnn.Module):
@@ -113,9 +131,9 @@ class InstanceNorm1d(fnn.Module):
 
     @fnn.compact
     def __call__(self, x, train: bool = True):  # train ignored (no stats)
-        mean = x.mean(axis=1, keepdims=True)
-        var = x.var(axis=1, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        mean, var = _moments(x, axes=(1,))
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y.astype(x.dtype)
 
 
 class BatchNorm(fnn.Module):
@@ -140,8 +158,8 @@ class BatchNorm(fnn.Module):
 
         axes = tuple(range(x.ndim - 1))
         if train:
-            mean = x.mean(axis=axes)
-            var = x.var(axis=axes)  # biased, used for normalization
+            # biased var used for normalization (torch semantics)
+            mean, var = _moments(x, axes=axes, keepdims=False)
             n = x.size // c
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
@@ -151,8 +169,8 @@ class BatchNorm(fnn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
 
 
 def make_norm(norm: Optional[str]):
@@ -237,18 +255,26 @@ class IntraSO3Conv(fnn.Module):
             w2 = jnp.transpose(W.astype(cdt), (1, 0, 2)).reshape(
                 c1, int(n_kernel) * self.dim_out)
             tit = tuple(map(tuple, ti.tolist()))
-            fn = lambda f, w: intra_conv(f, w, tit)
+            # point tile = MXU M dim of the per-anchor GEMMs; as large as
+            # the f32 accumulator allows (~4 MB VMEM)
+            t = 64
+            while t < 256 and 2 * t * na * self.dim_out * 4 <= 4 * 2 ** 20:
+                t *= 2
+            fn = lambda f, w: intra_conv(f, w, tit, t)
             if shard_mesh is not None:
                 from ..parallel import mesh as pmesh
                 fn = pmesh.data_shard_map(fn, shard_mesh, 1, 1)
             out = fn(x.feats.astype(cdt).reshape(b, p, nx * c1), w2)
-            out = out.reshape(b, p, na, self.dim_out).astype(jnp.float32)
+            # stay in the compute dtype: the f32 upcast here cost a 0.6 ms
+            # convert + 0.8 ms layout copy per layer (profiled); norms take
+            # their stats in f32 regardless
+            out = out.reshape(b, p, na, self.dim_out)
         else:
             M = jnp.asarray(_intra_onehot_const(), dtype=cdt)   # [x, a, k]
             Y = jnp.einsum('bpxc,kcd->bpxkd', x.feats.astype(cdt),
                            W.astype(cdt))
             out = jnp.einsum('bpxkd,xak->bpad', Y.astype(cdt), M,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32).astype(cdt)
         from ..parallel.mesh import constrain_feats
         out = constrain_feats(out)
         anchors = jnp.asarray(_anchors_const(60))

@@ -620,7 +620,9 @@ def _call_gather_w(gx8, idx3, tab, rk8k, w2, sigma, tp, kt, nt, ac,
                                  jnp.dtype(gdt).itemsize)
     assert n_sub > 0, (p, tp, kt, nt, c, d, ac, qp)
     t = n_sub * tp
-    out_shape = jax.ShapeDtypeStruct((b, p, na * d), jnp.float32)
+    # output in the table's (compute) dtype: accumulation is f32 in-kernel,
+    # and a bf16 activation chain halves the HBM write
+    out_shape = jax.ShapeDtypeStruct((b, p, na * d), gdt)
     # point tiles are the FASTEST grid dim so the support-table block stays
     # VMEM-resident across them (it only changes with the anchor chunk)
     return pl.pallas_call(

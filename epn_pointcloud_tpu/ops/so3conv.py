@@ -250,10 +250,9 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
         _, inter_idx, sample_idx, new_xyz = sampling.inter_grouping_ball(
             xyz, stride, radius * radius_expansion, n_neighbor, lazy_sample,
             gather_xyz=False)
-        feats_pad = sampling.add_shadow_feature(feats)
         b, p2, nn = inter_idx.shape
         nt, tp, kt, _ = plic.plan(nn, kernels.shape[0])
-        q = feats_pad.shape[1]
+        q = xyz.shape[1] + 1                              # + shadow row
         shadow_row = q - 1
         idx_pad = inter_idx if nt == nn else jnp.pad(
             inter_idx, ((0, 0), (0, 0), (0, nt - nn)),
@@ -264,8 +263,7 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
         rk8k = plic.make_rk8_kmajor(rk_all, k2, tp, kt)
 
         support_pad = sampling.add_shadow_point(xyz)            # [b, q, 3]
-        use_onehot = sampling._onehot_profitable(
-            feats_pad.shape[1], p2 * nt, na * c_in + 8)
+        use_onehot = sampling._onehot_profitable(q, p2 * nt, na * c_in + 8)
         if use_onehot:
             # One-hot MXU megagather. The packed-coordinate trick below is
             # NOT used here: raw f32 bit-halves are not valid bf16 values
@@ -288,10 +286,11 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
             xyz_cols = jnp.pad(packed, ((0, 0), (0, 0), (0, 2)))
             n_xyz_lanes = 6
 
-        def pl_layer(feats_pad, xyz_cols, idx_pad, new_xyz, rk8, rk8k, W_pad):
+        def pl_layer(feats, xyz_cols, idx_pad, new_xyz, rk8, rk8k, W_pad):
             # shapes derived from the args: under shard_map these are the
             # PER-SHARD extents (batch divided over the 'data' axis)
-            bb, qq = feats_pad.shape[:2]
+            bb, p1s = feats.shape[:2]
+            qq = p1s + 1                                  # + shadow row
             pp = idx_pad.shape[1]
             flat_idx = idx_pad.reshape(bb, pp * nt)
             # per-anchor channel stride. (Padding c=64 to 128 for aligned
@@ -303,15 +302,13 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                 # megagather fused into the kernel: the gathered [rows,
                 # na*c] tensor never exists in HBM; the kernel streams the
                 # support table per anchor chunk and one-hot-selects rows
-                # in VMEM (exact)
-                tabf = feats_pad.astype(cdt)
-                if cs != c_in:
-                    tabf = jnp.pad(tabf,
-                                   ((0, 0), (0, 0), (0, 0), (0, cs - c_in)))
-                tab = tabf.reshape(bb, qq, na * cs)
+                # in VMEM (exact). Shadow row + 8-row alignment + dtype in
+                # ONE fused pad (separate concat/pad copies cost ~1 ms).
                 qp = -(-qq // 8) * 8
-                if qp > qq:
-                    tab = jnp.pad(tab, ((0, 0), (0, qp - qq), (0, 0)))
+                tabf = jnp.pad(feats.astype(cdt),
+                               ((0, 0), (0, qp - p1s), (0, 0),
+                                (0, cs - c_in)))
+                tab = tabf.reshape(bb, qp, na * cs)
                 raw = jax.lax.stop_gradient(
                     sampling.gather_rows_onehot(xyz_cols, flat_idx)[..., :3])
                 grouped = (raw.reshape(bb, pp, nt, 3)
@@ -336,6 +333,7 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                 return jnp.einsum('bapkc,kcd->bpad', F.astype(cdt),
                                   Wp.astype(cdt),
                                   preferred_element_type=jnp.float32)
+            feats_pad = sampling.add_shadow_feature(feats)
             if use_onehot:
                 Gfeat = feats_pad.astype(cdt).reshape(bb, qq, na * c_in)
                 Ga = sampling.gather_rows_onehot(Gfeat, flat_idx)
@@ -371,7 +369,7 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
         if shard_mesh is not None:
             pl_layer = pmesh.data_shard_map(pl_layer, shard_mesh,
                                             n_data_args=4, n_repl_args=3)
-        out = pl_layer(feats_pad, xyz_cols, idx_pad, new_xyz, rk8, rk8k,
+        out = pl_layer(feats, xyz_cols, idx_pad, new_xyz, rk8, rk8k,
                        W_pad)
         return inter_idx, new_xyz, out, sample_idx
 
