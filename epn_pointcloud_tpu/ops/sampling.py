@@ -146,9 +146,9 @@ def furthest_sample(xyz: jnp.ndarray, n_sample: int, lazy_sample: bool = True):
 # Ball query (ref: grouping_cuda_kernel.cu:67-113)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=('n_sample',))
+@partial(jax.jit, static_argnames=('radius', 'n_sample', 'use_pallas'))
 def ball_query(query: jnp.ndarray, support: jnp.ndarray, radius: float,
-               n_sample: int) -> jnp.ndarray:
+               n_sample: int, use_pallas: bool = None) -> jnp.ndarray:
     """For each query point, the FIRST `n_sample` support indices (in point
     index order) with squared distance < radius^2; short neighborhoods are
     repeat-filled periodically. query [b,m,3], support [b,n,3] ->
@@ -162,25 +162,39 @@ def ball_query(query: jnp.ndarray, support: jnp.ndarray, radius: float,
     b, m, _ = query.shape
     n = support.shape[1]
     r2 = radius * radius
-
-    # Direct-difference form matches the reference CUDA kernel's fp32
-    # behavior at the radius boundary (the |q|^2+|s|^2-2qs expansion loses
-    # precision there and flips borderline hits).
-    d2 = jnp.sum((query[:, :, None, :] - support[:, None, :, :]) ** 2, -1)
-    hit = d2 < r2
-
-    # "First n_sample hits in index order" == the n_sample LARGEST values of
-    # key = -index (hits) / -n (misses): a top_k, which lowers to a fast TPU
-    # sort instead of the serialized scatter a positional write needs.
-    kidx = jnp.arange(n, dtype=jnp.int32)
-    key = jnp.where(hit, -kidx[None, None, :], -jnp.int32(n))
     k_eff = min(n_sample, n)  # n_sample may exceed the support size
-    topk, _ = jax.lax.top_k(key, k_eff)                          # [b,m,k_eff]
-    out = jnp.where(topk > -n, -topk, 0).astype(jnp.int32)
+
+    from .pallas import ball_query as plbq
+    if use_pallas is None:
+        # Pallas is opaque to GSPMD: single-device TPU only by default
+        use_pl = (jax.default_backend() == 'tpu' and jax.device_count() == 1)
+    else:
+        use_pl = use_pallas
+    if use_pl and plbq.supported(m, n, k_eff):
+        idx_raw, cnt_raw = plbq.ball_query_pallas(
+            query, support, r2, k_eff,
+            interpret=jax.default_backend() != 'tpu')
+        out = jnp.where(idx_raw < n, idx_raw, 0)
+        cnt = jnp.minimum(cnt_raw[:, 0], n_sample)
+    else:
+        # Direct-difference form matches the reference CUDA kernel's fp32
+        # behavior at the radius boundary (the |q|^2+|s|^2-2qs expansion
+        # loses precision there and flips borderline hits).
+        d2 = jnp.sum((query[:, :, None, :] - support[:, None, :, :]) ** 2, -1)
+        hit = d2 < r2
+
+        # "First n_sample hits in index order" == the n_sample LARGEST
+        # values of key = -index (hits) / -n (misses): a top_k, which lowers
+        # to a TPU sort instead of the serialized scatter a positional write
+        # needs. (The Pallas kernel above replaces the sort with unrolled
+        # min-extract steps, VMEM-resident.)
+        kidx = jnp.arange(n, dtype=jnp.int32)
+        key = jnp.where(hit, -kidx[None, None, :], -jnp.int32(n))
+        topk, _ = jax.lax.top_k(key, k_eff)                      # [b,m,k_eff]
+        out = jnp.where(topk > -n, -topk, 0).astype(jnp.int32)
+        cnt = jnp.minimum(hit.sum(axis=-1), n_sample)            # [b,m]
     if k_eff < n_sample:
         out = jnp.pad(out, ((0, 0), (0, 0), (0, n_sample - k_eff)))
-
-    cnt = jnp.minimum(hit.sum(axis=-1), n_sample)                # [b,m]
 
     # Periodic repeat fill: idx[s] = idx[s % cnt] for s >= cnt (cnt=0 -> 0).
     # Unrolled select-sum instead of take_along_axis: single-element gathers

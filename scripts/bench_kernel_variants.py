@@ -88,3 +88,37 @@ def main():
 
 if __name__ == '__main__':
     main()
+
+
+def main_w():
+    """Per-layer device time of fused_gather_conv_w (+ implied learned GEMM)."""
+    assert jax.default_backend() == 'tpu'
+    total = 0.0
+    for name, p, q, nn, c, b in LAYERS:
+        d = {'B0L1': 64, 'B1L0': 128, 'B1L1': 128, 'B2L0': 256,
+             'B2L1': 256, 'B3L0': 256}[name]
+        gx8, idx3, tab, rk8, (nt, tp, kt, qp) = layer_inputs(p, q, nn, c, b)
+        rng = np.random.RandomState(1)
+        anch = jnp.asarray(rng.randn(NA, 3, 3).astype(np.float32))
+        ker = jnp.asarray(rng.randn(K, 3).astype(np.float32) * 0.3)
+        rk = jnp.einsum('aij,kj->aki', anch, ker)
+        rk8k = ic.make_rk8_kmajor(rk, jnp.sum(ker ** 2, -1), tp, kt)
+        w2 = jnp.asarray(rng.randn(kt * c, d).astype(np.float32) * 0.05
+                         ).astype(jnp.bfloat16)
+        ms = device_ms(
+            lambda gx8, idx3, tab, rk8k, w2: ic.fused_gather_conv_w(
+                gx8, idx3, tab, rk8k, rk8, w2, SIGMA, tp, kt, nt, AC, False),
+            gx8, idx3, tab, rk8k, w2)
+        bd = 2 * b * p * NA * (tp * kt) * nt * c
+        s = 2 * b * p * nt * qp * NA * c
+        lg = 2 * b * p * NA * kt * c * d
+        d2f = 2 * b * p * nt * (tp * kt) * 16 * NA
+        print(f'{name}: {ms:7.2f} ms  bd {bd/1e9:5.0f}G s {s/1e9:5.0f}G '
+              f'learned {lg/1e9:5.0f}G d2 {d2f/1e9:5.0f}G '
+              f'-> {(bd+s+lg+d2f)/ms/1e9:6.1f} TF/s')
+        total += ms
+    print(f'total W-fused kernel: {total:.1f} ms')
+
+
+if __name__ == '__main__' and os.environ.get('BENCH_W'):
+    main_w()

@@ -173,3 +173,15 @@ def test_gather_rows_onehot_matches_gather():
         assert onehot.dtype == table.dtype
         np.testing.assert_array_equal(np.asarray(direct, np.float32),
                                       np.asarray(onehot, np.float32))
+
+
+def test_ball_query_pallas_matches_xla():
+    """The Pallas min-extract ball query (interpret mode) equals the XLA
+    top_k formulation, including short neighborhoods and repeat fill."""
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.5)
+    s = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32) * 0.5)
+    for r, ns in [(0.4, 16), (0.15, 8), (1.2, 32), (0.05, 4)]:
+        a = sampling.ball_query(q, s, r, ns, use_pallas=False)
+        b = sampling.ball_query(q, s, r, ns, use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), (r, ns)
