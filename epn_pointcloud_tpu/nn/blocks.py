@@ -94,7 +94,12 @@ class SeparableSO3ConvBlock(fnn.Module):
         dim_in, dim_out = p['dim_in'], p['dim_out']
         use_intra = p['kanchor'] > 1
 
-        skip_feature = x.feats
+        # compute dtype from the start: block0 emits f32, and one f32 input
+        # otherwise poisons every downstream residual add (bf16 + f32
+        # promotes, so the whole chain silently runs f32 with layout-copy
+        # overhead at each norm)
+        from ..ops import so3conv as so3f
+        skip_feature = x.feats.astype(so3f.get_compute_dtype())
         inter_idx, inter_w, sample_idx, x = InterSO3ConvBlock(
             dim_in=dim_in, dim_out=dim_out, kernel_size=p['kernel_size'],
             stride=p['stride'], radius=p['radius'], sigma=p['sigma'],

@@ -114,14 +114,17 @@ class ClsOutBlockPointnet(fnn.Module):
         elif pooling == 'max':
             x_out = x_out.max(axis=1)
         elif pooling.startswith('attention'):
-            att = Dense1x1(1)(x_out)                 # [b, a, 1]
+            # f32 attention logits (they feed the anchor-classification loss)
+            att = Dense1x1(1)(x_out.astype(jnp.float32))   # [b, a, 1]
             out_feat = att.squeeze(-1)               # [b, a]
             conf = jax.nn.softmax(att * p['temperature'], axis=1)
-            x_out = (x_out * conf).sum(axis=1)
+            x_out = (x_out * conf.astype(x_out.dtype)).sum(axis=1)
         else:
             raise NotImplementedError(f'Pooling mode {pooling}')
 
-        x_out = Dense1x1(p['k'])(x_out)
+        # f32 logits regardless of the activation compute dtype (softmax/CE
+        # stability; the backbone may run bf16)
+        x_out = Dense1x1(p['k'])(x_out.astype(jnp.float32))
         return x_out, (out_feat.squeeze() if out_feat.ndim > 2 else out_feat)
 
 
