@@ -656,6 +656,144 @@ def _call_gather_w(gx8, idx3, tab, rk8k, w2, sigma, tp, kt, nt, ac,
     )(gx8, idx3, tab, rk8k, w2)
 
 
+def _bwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
+                         dout_ref, dtab_ref, dw2_ref, fs, dFs, dacc, *,
+                         sigma, tp, kt, nt, n_sub, ac, c, d):
+    """Fully fused backward of _fwd_gather_w_kernel: ONE kernel computes
+    dTable (via k-major BD^T and the transposed one-hot select) and dW2
+    (via recomputed f slabs), accumulating both in VMEM across grid steps
+    (their block indices are constant along the point-tile grid dim, so the
+    blocks persist; dW2's is constant across the whole grid). The F-sized
+    dF/F tensors the XLA-composed backward materialized in HBM (~8 HBM
+    passes/layer, 53 ms of conv fusions + 15 ms of layout copies measured
+    on the training step) never exist."""
+    gdt = tab_ref.dtype
+    prec = _precision(gdt)
+    pt = pl.program_id(2)
+    first_all = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+                 & (pt == 0))
+
+    @pl.when(pt == 0)
+    def _zero_dtab():
+        dtab_ref[...] = jnp.zeros_like(dtab_ref)
+
+    @pl.when(first_all)
+    def _zero_dw2():
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+
+    idxv = idx_ref[0, 0]
+    rows = idxv.shape[0]
+    qp = tab_ref.shape[1]
+    iot = jax.lax.broadcasted_iota(jnp.int32, (rows, qp), 1)
+    s_onehot = (iot == idxv[:, None]).astype(gdt)
+    g_all = jax.lax.dot_general(
+        s_onehot, tab_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec).astype(gdt)                            # [T*N~, AC*C]
+    s = tp * nt
+    t = n_sub * tp
+    grp = max(1, 8 // tp)
+    inv_sigma = jnp.float32(1.0 / sigma)
+    # dacc [AC*T, D]: dout rows regrouped anchor-major
+    for a in range(ac):
+        dacc[a * t:(a + 1) * t, :] = dout_ref[0, :, a * d:(a + 1) * d]
+    # dF slabs [K~, AC*T, C]: dF_k = dout W_k^T, M = AC*T
+    for k in range(kt):
+        dFs[k] = jax.lax.dot_general(
+            dacc[:], w2_ref[k * c:(k + 1) * c, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(gdt)                        # [AC*T, C]
+    for a in range(ac):
+        d2_all = jax.lax.dot_general(
+            rk8k_ref[a], gx8_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                                    # [R, T*N~]
+        pend = []
+        for st in range(n_sub):
+            d2 = d2_all[:, st * s:(st + 1) * s]                # [R, S]
+            bd = jax.nn.relu(1.0 - d2 * inv_sigma).astype(gdt)
+            # recompute f (k-major) for dW2
+            g_sub = g_all[st * s:(st + 1) * s, a * c:(a + 1) * c]
+            f = jax.lax.dot_general(
+                bd, g_sub, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec).astype(gdt)                    # [R, C]
+            pend.append(f.reshape(kt, tp, c))
+            if len(pend) == grp:
+                blk = pend[0] if grp == 1 else jnp.concatenate(pend, axis=1)
+                off = a * t + (st + 1 - grp) * tp
+                fs[:, off:off + grp * tp, :] = blk
+                pend = []
+            # dg rows for this subtile: BD^T (k-major columns) @ dF slab
+            dF_ast = dFs[:, a * t + st * tp:a * t + (st + 1) * tp, :]
+            dg_sub = jax.lax.dot_general(
+                bd, dF_ast.reshape(kt * tp, c),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec).astype(gdt)                    # [S, C]
+            # transposed one-hot: scatter dg rows back to support rows
+            dtab_ref[0, :, a * c:(a + 1) * c] += jax.lax.dot_general(
+                s_onehot[st * s:(st + 1) * s, :], dg_sub,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)                                # [Q~, C] f32
+    # dW2 += f^T dOut (contract the AC*T rows)
+    for k in range(kt):
+        dw2_ref[k * c:(k + 1) * c, :] += jax.lax.dot_general(
+            fs[k], dacc[:].astype(gdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                                    # [C, D] f32
+
+
+def _call_gather_w_bwd(gx8, idx3, tab, rk8k, w2, dout, sigma, tp, kt, nt,
+                       ac, interpret, c, d):
+    b = gx8.shape[0]
+    na = rk8k.shape[0]
+    qp = tab.shape[1]
+    p = gx8.shape[2] // nt
+    gdt = tab.dtype
+    n_sub = _pick_n_sub_gather_w(p, tp, kt, nt, c, d, ac, qp,
+                                 jnp.dtype(gdt).itemsize)
+    assert n_sub > 0, (p, tp, kt, nt, c, d, ac, qp)
+    t = n_sub * tp
+    out_shapes = [jax.ShapeDtypeStruct((b, qp, na * c), jnp.float32),
+                  jax.ShapeDtypeStruct((kt * c, d), jnp.float32)]
+    return pl.pallas_call(
+        functools.partial(_bwd_gather_w_kernel, sigma=float(sigma), tp=tp,
+                          kt=kt, nt=nt, n_sub=n_sub, ac=ac, c=c, d=d),
+        grid=(b, na // ac, p // t),
+        in_specs=[
+            pl.BlockSpec((1, 16, t * nt), lambda bb, ci, pt: (bb, 0, pt)),
+            pl.BlockSpec((1, 1, t * nt), lambda bb, ci, pt: (bb, 0, pt)),
+            pl.BlockSpec((1, qp, ac * c), lambda bb, ci, pt: (bb, 0, ci)),
+            pl.BlockSpec((ac, 16, tp * kt), lambda bb, ci, pt: (ci, 0, 0)),
+            pl.BlockSpec((kt * c, d), lambda bb, ci, pt: (0, 0)),
+            pl.BlockSpec((1, t, ac * d), lambda bb, ci, pt: (bb, pt, ci)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qp, ac * c), lambda bb, ci, pt: (bb, 0, ci)),
+            pl.BlockSpec((kt * c, d), lambda bb, ci, pt: (0, 0)),
+        ],
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((kt, ac * t, c), gdt),
+                        pltpu.VMEM((kt, ac * t, c), gdt),
+                        pltpu.VMEM((ac * t, d), gdt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=(4 * b * p * na * (tp * kt) * nt * c
+                   + 4 * b * p * nt * qp * na * c
+                   + 4 * b * p * na * kt * c * d),
+            bytes_accessed=(tab.size * tab.dtype.itemsize
+                            + b * qp * na * c * 4 + b * p * na * d * 2),
+            transcendentals=0),
+        interpret=interpret,
+    )(gx8, idx3, tab, rk8k, w2, dout)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def fused_gather_conv_w(gx8, idx3, table, rk8k, rk8t, w2, sigma, tp, kt,
                         nt, ac=None, interpret=False):
@@ -680,9 +818,13 @@ def _fgcw_fwd(gx8, idx3, table, rk8k, rk8t, w2, sigma, tp, kt, nt, ac,
     return out, (gx8, idx3, table, rk8k, rk8t, w2)
 
 
+_USE_FUSED_BWD = True
+
+
 def _fgcw_bwd(sigma, tp, kt, nt, ac, interpret, res, dout):
-    """dTable via the mirrored BD^T kernel + transposed one-hot GEMM;
-    dW = F^T dOut with F recomputed by the (t-major) gather-fused kernel."""
+    """Fully fused backward kernel (dTable + dW2 in one pass, see
+    _bwd_gather_w_kernel); the XLA-composed fallback mirrors the forward
+    with F-sized HBM intermediates."""
     gx8, idx3, table, rk8k, rk8t, w2 = res
     b, na = table.shape[0], rk8t.shape[0]
     p = gx8.shape[2] // nt
@@ -690,6 +832,14 @@ def _fgcw_bwd(sigma, tp, kt, nt, ac, interpret, res, dout):
     d = w2.shape[1]
     gdt = table.dtype
     prec = _precision(gdt)
+    if _USE_FUSED_BWD:
+        dtab32, dw32 = _call_gather_w_bwd(
+            gx8, idx3, table, rk8k, w2, dout.astype(gdt), sigma, tp, kt,
+            nt, ac or na, interpret, c, d)
+        return (jnp.zeros_like(gx8),
+                np.zeros(idx3.shape, jax.dtypes.float0),
+                dtab32.astype(gdt), jnp.zeros_like(rk8k),
+                jnp.zeros_like(rk8t), dw32.astype(w2.dtype))
     do5 = dout.reshape(b, p, na, d).astype(gdt)
     W3 = w2.reshape(kt, c, d).astype(gdt)
     dF = jnp.einsum('bpad,kcd->bapkc', do5, W3).astype(gdt)
