@@ -112,28 +112,81 @@ def _intra_fwd(f_flat, w2, trace_idx_tuple, t, interpret):
     return out, (f_flat, w2)
 
 
-def _intra_bwd(trace_idx_tuple, t, interpret, res, dout):
-    """Plain-XLA backward: dY[b,p,x,k,d] = sum_a M[x,a,k] dout[b,p,a,d];
-    df = dY . W2^T; dW2 = f^T . dY."""
-    f_flat, w2 = res
-    ti = np.asarray(trace_idx_tuple, dtype=np.int64)
-    na, nk = ti.shape
-    b, p, nac = f_flat.shape
+def _bwd_kernel(f_ref, do_ref, w2_ref, df_ref, dw2_ref, *, pairs, na, nk,
+                c, d):
+    """Fused backward: df_x = sum_{(a,k): trace_idx[a,k]=x} dout_a W_k^T and
+    dW_k += f_x^T dout_a, VMEM-resident (the XLA path materialized the
+    [b,p,na,nk,d] dY tensor in HBM three times over). dW2 accumulates in
+    its VMEM block across the whole (sequential) grid."""
+    prec = (jax.lax.Precision.HIGHEST if f_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _zero():
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+
+    f = f_ref[0]                                          # [T, na*c]
+    do = do_ref[0]                                        # [T, na*d]
+    w2 = w2_ref[:]                                        # [C, K*D]
+    for x in range(na):
+        acc = None
+        fx = f[:, x * c:(x + 1) * c]                      # [T, C]
+        for a, k in pairs[x]:
+            do_a = do[:, a * d:(a + 1) * d]               # [T, D]
+            y = jax.lax.dot_general(
+                do_a, w2[:, k * d:(k + 1) * d],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)  # [T, C]
+            acc = y if acc is None else acc + y
+            dw2_ref[:, k * d:(k + 1) * d] += jax.lax.dot_general(
+                fx, do_a, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)  # [C, D]
+        df_ref[0, :, x * c:(x + 1) * c] = acc.astype(df_ref.dtype)
+
+
+def _bwd_pallas(f_flat, dout, w2, trace_idx, t, interpret):
+    b, p_total, nac = f_flat.shape
+    na, nk = trace_idx.shape
     c = nac // na
     d = w2.shape[1] // nk
-    M = np.zeros((na, na, nk), dtype=np.float32)          # [x, a, k]
-    for a in range(na):
-        for k in range(nk):
-            M[ti[a, k], a, k] = 1.0
-    Mj = jnp.asarray(M, dout.dtype)
-    do = dout.reshape(b, p, na, d)
-    dY = jnp.einsum('bpad,xak->bpxkd', do, Mj)            # [b,p,x,k,d]
-    fx = f_flat.reshape(b, p, na, c)
-    W = w2.reshape(c, nk, d)
-    df = jnp.einsum('bpxkd,ckd->bpxc', dY, W.astype(dY.dtype))
-    dW2 = jnp.einsum('bpxc,bpxkd->ckd', fx.astype(dY.dtype), dY)
-    return (df.reshape(b, p, na * c).astype(f_flat.dtype),
-            dW2.reshape(c, nk * d).astype(w2.dtype))
+    pairs = _pairs(trace_idx)
+    p = p_total + (-p_total) % 8
+    if p > p_total:
+        f_flat = jnp.pad(f_flat, ((0, 0), (0, p - p_total), (0, 0)))
+        dout = jnp.pad(dout, ((0, 0), (0, p - p_total), (0, 0)))
+    while p % t != 0:
+        t -= 8
+    df, dw2 = pl.pallas_call(
+        functools.partial(_bwd_kernel, pairs=pairs, na=na, nk=nk, c=c, d=d),
+        grid=(b, p // t),
+        in_specs=[
+            pl.BlockSpec((1, t, na * c), lambda bb, pt: (bb, pt, 0)),
+            pl.BlockSpec((1, t, na * d), lambda bb, pt: (bb, pt, 0)),
+            pl.BlockSpec((w2.shape[0], w2.shape[1]), lambda bb, pt: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t, na * c), lambda bb, pt: (bb, pt, 0)),
+            pl.BlockSpec((w2.shape[0], w2.shape[1]), lambda bb, pt: (0, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, p, na * c), f_flat.dtype),
+                   jax.ShapeDtypeStruct(w2.shape, jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * p * na * c * nk * d,
+            bytes_accessed=2 * f_flat.size * f_flat.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(f_flat, dout, w2)
+    return (df[:, :p_total] if p > p_total else df), dw2
+
+
+def _intra_bwd(trace_idx_tuple, t, interpret, res, dout):
+    f_flat, w2 = res
+    ti = np.asarray(trace_idx_tuple, dtype=np.int64)
+    df, dw2 = _bwd_pallas(f_flat, dout, w2, ti, t, interpret)
+    return df.astype(f_flat.dtype), dw2.astype(w2.dtype)
 
 
 intra_conv.defvjp(_intra_fwd, _intra_bwd)
