@@ -35,7 +35,9 @@ class IntraSO3ConvBlock(fnn.Module):
     @fnn.compact
     def __call__(self, x: SphericalPointCloud, train: bool = True):
         x = IntraSO3Conv(self.dim_in, self.dim_out)(x)
-        feat = InstanceNorm()(x.feats, train=train)
+        groups = (x.feats.shape[-1] // self.dim_out
+                  if x.feats.ndim == 3 else 1)
+        feat = InstanceNorm(groups=groups)(x.feats, train=train)
         act = get_activation(self.activation)
         if act is not None:
             feat = act(feat)
@@ -71,7 +73,8 @@ class InterSO3ConvBlock(fnn.Module):
             self.radius, self.sigma, self.n_neighbor, lazy_sample=lazy,
             pooling=pooling, kanchor=self.kanchor,
             ones_input=ones_input)(x, inter_idx, inter_w)
-        feat = make_norm(self.norm)()(x.feats, train=train)
+        groups = self.kanchor if x.feats.ndim == 3 else 1
+        feat = make_norm(self.norm)(groups=groups)(x.feats, train=train)
         act = get_activation(self.activation)
         if act is not None:
             feat = act(feat)
@@ -118,10 +121,24 @@ class SeparableSO3ConvBlock(fnn.Module):
                 activation=p['activation'])(x, train=train)
         if p['stride'] > 1:
             skip_feature = sampling.gather_points(skip_feature, sample_idx)
-        skip_feature = Dense1x1(dim_out)(skip_feature)
-        skip_feature = make_norm(p.get('norm'))()(skip_feature, train=train)
+        if skip_feature.ndim == 3:
+            # packed [b, p, na*c]: the 1x1 conv mixes channels per anchor
+            na = p['kanchor']
+            b2, p2 = skip_feature.shape[:2]
+            sf = skip_feature.reshape(b2, p2, na, dim_in)
+            sf = Dense1x1(dim_out)(sf)
+            skip_feature = sf.reshape(b2, p2, na * dim_out)
+            skip_feature = make_norm(p.get('norm'))(groups=na)(
+                skip_feature, train=train)
+        else:
+            skip_feature = Dense1x1(dim_out)(skip_feature)
+            skip_feature = make_norm(p.get('norm'))()(skip_feature,
+                                                      train=train)
         act = get_activation(p['activation'])
         skip_feature = act(skip_feature)
+        if skip_feature.ndim != x.feats.ndim:
+            # packed main chain + 4D skip (block0) or vice versa
+            skip_feature = skip_feature.reshape(x.feats.shape)
         return inter_idx, inter_w, sample_idx, SphericalPointCloud(
             x.xyz, x.feats + skip_feature, x.anchors)
 

@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
+from ..ops import so3conv as _so3f
 from ..ops.so3conv import SphericalPointCloud
 from .layers import BatchNorm, Dense1x1, InstanceNorm, PointnetSO3Conv
 from .blocks import IntraSO3ConvBlock
@@ -32,7 +33,7 @@ class ClsOutBlockR(fnn.Module):
     @fnn.compact
     def __call__(self, feats, label=None, train: bool = True):
         p = self.params
-        x = feats
+        x = _so3f.unpack_feats(feats, p.get('kanchor', 1))
         for c in p['mlp']:
             x = Dense1x1(c)(x)
             x = jax.nn.relu(BatchNorm()(x, train=train))
@@ -90,7 +91,7 @@ class ClsOutBlockPointnet(fnn.Module):
     def __call__(self, x: SphericalPointCloud, label=None, train: bool = True):
         p = self.params
         na = p['kanchor']
-        x_out = x.feats                              # [b, p, a, c]
+        x_out = _so3f.unpack_feats(x.feats, na)      # [b, p, a, c]
 
         if self.debug:
             return x_out[..., :40].mean(axis=(1, 2)), None
@@ -139,7 +140,7 @@ class InvOutBlockR(fnn.Module):
     def __call__(self, feats, train: bool = True):
         p = self.params
         mlp = p['mlp']
-        x = feats
+        x = _so3f.unpack_feats(feats, p.get('kanchor', 1))
         for i, c in enumerate(mlp):
             x = Dense1x1(c)(x)
             if i != len(mlp) - 1:
@@ -175,6 +176,8 @@ class InvOutBlockPointnet(fnn.Module):
     def __call__(self, x: SphericalPointCloud, train: bool = True):
         p = self.params
         c_in, c_out, na = p['dim_in'], p['mlp'][-1], p['kanchor']
+        x = SphericalPointCloud(x.xyz, _so3f.unpack_feats(x.feats, na),
+                                x.anchors)
         x_out = PointnetSO3Conv(c_in, c_out, na)(x)  # [b, a, c]
         out_feat = x_out
 
@@ -207,6 +210,8 @@ class InvOutBlockMVD(fnn.Module):
     def __call__(self, x: SphericalPointCloud, train: bool = True):
         p = self.params
         c_in, c_out, na = p['dim_in'], p['mlp'][-1], p['kanchor']
+        x = SphericalPointCloud(x.xyz, _so3f.unpack_feats(x.feats, na),
+                                x.anchors)
 
         attn = Dense1x1(c_in)(x.feats)
         attn = jax.nn.relu(attn)
@@ -237,7 +242,7 @@ class SO3OutBlockR(fnn.Module):
     def __call__(self, feats, train: bool = True):
         p = self.params
         nr = 4 if p.get('representation', 'quat') == 'quat' else 6
-        x = feats
+        x = _so3f.unpack_feats(feats, p.get('kanchor', 1))
         for c in p['mlp']:
             x = jax.nn.relu(Dense1x1(c)(x))
         x = x.mean(axis=1)                           # [b, a, c]
@@ -268,6 +273,8 @@ class RelSO3OutBlockR(fnn.Module):
         else:
             raise KeyError(f'Unrecognized representation of rotation: {rp}')
 
+        f1 = _so3f.unpack_feats(f1, na)
+        f2 = _so3f.unpack_feats(f2, na)
         pointnet = PointnetSO3Conv(c_in, c_in, na)
         f1 = jax.nn.relu(pointnet(SphericalPointCloud(x1, f1, None)))  # [b,a,c]
         f2 = jax.nn.relu(pointnet(SphericalPointCloud(x2, f2, None)))

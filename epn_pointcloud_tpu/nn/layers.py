@@ -112,14 +112,51 @@ def _moments(x, axes, keepdims: bool = True):
     return mean, var
 
 
+def _packed_sums(x3):
+    """Per-lane (sum, sumsq) f32 of packed [b, rows, L] activations.
+
+    On TPU: the Pallas moments kernel (reads x in its natural layout; the
+    XLA 4D reduce's layout preference forced a ~0.6 ms copy per norm).
+    Elsewhere: plain jnp reductions (identical math)."""
+    from ..ops.pallas import moments as plm
+    if jax.default_backend() == 'tpu' and plm.supported(*x3.shape[1:]):
+        return plm.moments_sums(x3)
+    xf = x3.astype(jnp.float32)
+    return xf.sum(axis=1), jnp.square(xf).sum(axis=1)
+
+
+def _packed_instance_norm(x3, groups: int, eps: float):
+    """InstanceNorm2d semantics on packed [b, p, groups*c] activations:
+    per-(b, c) stats over (p, groups), one-pass E[x^2]-E[x]^2 in f32."""
+    b, p, L = x3.shape
+    c = L // groups
+    s, sq = _packed_sums(x3)                        # [b, L] f32
+    n = p * groups
+    sc = s.reshape(b, groups, c).sum(axis=1)
+    sqc = sq.reshape(b, groups, c).sum(axis=1)
+    mean = sc / n
+    var = jnp.maximum(sqc / n - jnp.square(mean), 0.0)
+    rsig = jax.lax.rsqrt(var + eps)
+    mean_l = jnp.tile(mean, (1, groups))[:, None, :]
+    rsig_l = jnp.tile(rsig, (1, groups))[:, None, :]
+    y = (x3.astype(jnp.float32) - mean_l) * rsig_l
+    return y.astype(x3.dtype)
+
+
 class InstanceNorm(fnn.Module):
     """torch nn.InstanceNorm2d(c, affine=False) over [b, c, p, a]: normalize
     each (b, c) slice over the spatial axes. Ours: [b, p, a, c] -> reduce over
-    (1, 2). eps matches torch default."""
+    (1, 2). eps matches torch default.
+
+    Packed mode: 3D input [b, p, groups*c] with groups > 1 computes the same
+    per-(b, c) statistics via the Pallas moments kernel (no 4D layout churn)."""
     epsilon: float = 1e-5
+    groups: int = 1
 
     @fnn.compact
     def __call__(self, x, train: bool = True):  # train ignored (no stats)
+        if x.ndim == 3 and self.groups > 1:
+            return _packed_instance_norm(x, self.groups, self.epsilon)
         mean, var = _moments(x, axes=(1, 2))
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         return y.astype(x.dtype)
@@ -145,10 +182,12 @@ class BatchNorm(fnn.Module):
     BatchNorm uses biased for both, which breaks eval-mode parity."""
     epsilon: float = 1e-5
     momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+    groups: int = 1        # packed [b, p, groups*c] input support
 
     @fnn.compact
     def __call__(self, x, train: bool = True):
-        c = x.shape[-1]
+        packed = x.ndim == 3 and self.groups > 1
+        c = x.shape[-1] // self.groups if packed else x.shape[-1]
         scale = self.param('scale', fnn.initializers.ones, (c,))
         bias = self.param('bias', fnn.initializers.zeros, (c,))
         ra_mean = self.variable('batch_stats', 'mean',
@@ -156,11 +195,18 @@ class BatchNorm(fnn.Module):
         ra_var = self.variable('batch_stats', 'var',
                                lambda: jnp.ones((c,), jnp.float32))
 
-        axes = tuple(range(x.ndim - 1))
+        n = x.size // c
         if train:
-            # biased var used for normalization (torch semantics)
-            mean, var = _moments(x, axes=axes, keepdims=False)
-            n = x.size // c
+            if packed:
+                s, sq = _packed_sums(x)              # [b, L] f32
+                sc = s.reshape(-1, self.groups, c).sum(axis=(0, 1))
+                sqc = sq.reshape(-1, self.groups, c).sum(axis=(0, 1))
+                mean = sc / n
+                var = jnp.maximum(sqc / n - jnp.square(mean), 0.0)
+            else:
+                # biased var used for normalization (torch semantics)
+                axes = tuple(range(x.ndim - 1))
+                mean, var = _moments(x, axes=axes, keepdims=False)
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
                 m = self.momentum
@@ -169,7 +215,14 @@ class BatchNorm(fnn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        rsig = jax.lax.rsqrt(var + self.epsilon)
+        if packed:
+            mean_l = jnp.tile(mean, self.groups)[None, None, :]
+            rs_l = jnp.tile(rsig * scale, self.groups)[None, None, :]
+            sh_l = jnp.tile(bias, self.groups)[None, None, :]
+            y = (x.astype(jnp.float32) - mean_l) * rs_l + sh_l
+            return y.astype(x.dtype)
+        y = (x.astype(jnp.float32) - mean) * rsig
         return (y * scale + bias).astype(x.dtype)
 
 
@@ -234,6 +287,7 @@ class IntraSO3Conv(fnn.Module):
 
         from ..ops import so3conv as so3f
         cdt = so3f.get_compute_dtype()
+        packed = x.feats.ndim == 3          # [b, p, nx*c] packed activations
         use_pl = jax.default_backend() == 'tpu'
         shard_mesh = None
         if use_pl and jax.device_count() > 1:
@@ -251,7 +305,13 @@ class IntraSO3Conv(fnn.Module):
             # fused Pallas kernel: true MACs on the MXU, VMEM-resident
             # anchor mixing, no [b,p,x,k,d] HBM intermediate
             from ..ops.pallas.intra_conv import intra_conv
-            b, p, nx, c1 = x.feats.shape
+            c1 = self.dim_in
+            if packed:
+                f3 = x.feats.astype(cdt)
+                b, p = f3.shape[:2]
+            else:
+                b, p, nx, _ = x.feats.shape
+                f3 = x.feats.astype(cdt).reshape(b, p, nx * c1)
             w2 = jnp.transpose(W.astype(cdt), (1, 0, 2)).reshape(
                 c1, int(n_kernel) * self.dim_out)
             tit = tuple(map(tuple, ti.tolist()))
@@ -264,17 +324,21 @@ class IntraSO3Conv(fnn.Module):
             if shard_mesh is not None:
                 from ..parallel import mesh as pmesh
                 fn = pmesh.data_shard_map(fn, shard_mesh, 1, 1)
-            out = fn(x.feats.astype(cdt).reshape(b, p, nx * c1), w2)
+            out = fn(f3, w2)
             # stay in the compute dtype: the f32 upcast here cost a 0.6 ms
             # convert + 0.8 ms layout copy per layer (profiled); norms take
             # their stats in f32 regardless
-            out = out.reshape(b, p, na, self.dim_out)
+            if not packed:
+                out = out.reshape(b, p, na, self.dim_out)
         else:
+            f4 = so3f.unpack_feats(x.feats, na) if packed else x.feats
             M = jnp.asarray(_intra_onehot_const(), dtype=cdt)   # [x, a, k]
-            Y = jnp.einsum('bpxc,kcd->bpxkd', x.feats.astype(cdt),
+            Y = jnp.einsum('bpxc,kcd->bpxkd', f4.astype(cdt),
                            W.astype(cdt))
             out = jnp.einsum('bpxkd,xak->bpad', Y.astype(cdt), M,
                              preferred_element_type=jnp.float32).astype(cdt)
+            if packed:
+                out = out.reshape(out.shape[0], out.shape[1], -1)
         from ..parallel.mesh import constrain_feats
         out = constrain_feats(out)
         anchors = jnp.asarray(_anchors_const(60))
@@ -316,6 +380,7 @@ class InterSO3Conv(fnn.Module):
 
         use_fused = (self.fused and self.pooling is None
                      and inter_w is None)
+        packed_io = so3conv.packed_enabled() and self.kanchor > 1
         if use_fused:
             na = anchors.shape[0]
             chunk = self.anchor_chunk
@@ -337,15 +402,19 @@ class InterSO3Conv(fnn.Module):
                 x.xyz, x.feats, self.stride, self.n_neighbor, anchors,
                 kernels, self.radius, self.sigma, W,
                 lazy_sample=self.lazy_sample, anchor_chunk=chunk,
-                remat=self.remat, ones_input=self.ones_input)
+                remat=self.remat, ones_input=self.ones_input,
+                packed_io=packed_io)
             inter_w = None
         else:
+            in_feats = so3conv.unpack_feats(x.feats, self.kanchor)
             inter_idx, inter_w, xyz, feats, sample_idx = \
                 so3conv.inter_so3conv_grouping(
-                    x.xyz, x.feats, self.stride, self.n_neighbor, anchors,
+                    x.xyz, in_feats, self.stride, self.n_neighbor, anchors,
                     kernels, self.radius, self.sigma, inter_idx, inter_w,
                     self.lazy_sample, pooling=self.pooling)
             feats = jnp.einsum('bpakc,kcd->bpad', feats, W)
+            if packed_io:
+                feats = feats.reshape(feats.shape[0], feats.shape[1], -1)
         from ..parallel.mesh import constrain_feats
         feats = constrain_feats(feats)
         return inter_idx, inter_w, sample_idx, SphericalPointCloud(

@@ -179,6 +179,34 @@ def set_use_pallas(flag: bool):
     _USE_PALLAS = bool(flag)
 
 
+# Packed activation layout: between conv layers, features travel as 3D
+# [b, p, na*c] (the layout every Pallas kernel already consumes/produces)
+# instead of 4D [b, p, na, c]. XLA assigns 4D reduce-influenced layouts to
+# the [b,p,a,c] form, which forced a pathological layout copy at every norm
+# and at every kernel boundary (~12 ms/step on the flagship model,
+# profiled). Norm statistics in packed mode come from the Pallas moments
+# kernel (ops/pallas/moments.py). Enabled for the bf16 production mode;
+# the fp32 parity path keeps the reference-shaped 4D flow.
+_USE_PACKED = True
+
+
+def set_packed(flag: bool):
+    global _USE_PACKED
+    _USE_PACKED = bool(flag)
+
+
+def packed_enabled() -> bool:
+    return _USE_PACKED and _COMPUTE_DTYPE == jnp.bfloat16
+
+
+def unpack_feats(feats: Optional[jnp.ndarray], na: int) -> Optional[jnp.ndarray]:
+    """Packed [b, p, na*c] -> [b, p, na, c]; identity on 4D/None inputs."""
+    if feats is not None and feats.ndim == 3 and na > 1:
+        b, p, L = feats.shape
+        return feats.reshape(b, p, na, L // na)
+    return feats
+
+
 def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                         n_neighbor: int, anchors: jnp.ndarray,
                         kernels: jnp.ndarray, radius: float, sigma: float,
@@ -187,7 +215,8 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                         anchor_chunk: int = 20,
                         remat: bool = True,
                         use_pallas: Optional[bool] = None,
-                        ones_input: bool = False):
+                        ones_input: bool = False,
+                        packed_io: bool = False):
     """Fused inter conv: grouping + anchor weights + neighbor contraction +
     the learned BasicSO3Conv matmul, computed in anchor chunks so the
     [b, p, n, a, c] and [b, p, a, k, c] intermediates of the reference
@@ -197,6 +226,9 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
     W: [k, c_in, c_out] conv weight.
     Returns (inter_idx, new_xyz, out_feats [b, p2, a, c_out], sample_idx).
     The inter_w cache is not produced (recompute is cheaper than the HBM).
+
+    packed_io: accept feats as packed [b, p, na*c] and return packed
+    [b, p2, na*c_out] (see packed_enabled(); avoids all 4D layout copies).
     """
     k2 = jnp.sum(kernels ** 2, axis=-1)               # [k]
     na = anchors.shape[0]
@@ -204,7 +236,8 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
     assert na % chunk == 0, (na, chunk)
 
     cdt = _COMPUTE_DTYPE
-    c_in = feats.shape[-1]
+    packed_in = feats.ndim == 3
+    c_in = feats.shape[-1] // na if packed_in else feats.shape[-1]
     from .pallas import inter_conv as plic
     interpret = jax.default_backend() != 'tpu'
     if use_pallas is None:
@@ -305,10 +338,16 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                 # in VMEM (exact). Shadow row + 8-row alignment + dtype in
                 # ONE fused pad (separate concat/pad copies cost ~1 ms).
                 qp = -(-qq // 8) * 8
-                tabf = jnp.pad(feats.astype(cdt),
-                               ((0, 0), (0, qp - p1s), (0, 0),
-                                (0, cs - c_in)))
-                tab = tabf.reshape(bb, qp, na * cs)
+                if packed_in:
+                    # packed [b, p, na*c] input IS the table layout: one
+                    # row pad, zero reshapes/copies
+                    tab = jnp.pad(feats.astype(cdt),
+                                  ((0, 0), (0, qp - p1s), (0, 0)))
+                else:
+                    tabf = jnp.pad(feats.astype(cdt),
+                                   ((0, 0), (0, qp - p1s), (0, 0),
+                                    (0, cs - c_in)))
+                    tab = tabf.reshape(bb, qp, na * cs)
                 raw = jax.lax.stop_gradient(
                     sampling.gather_rows_onehot(xyz_cols, flat_idx)[..., :3])
                 grouped = (raw.reshape(bb, pp, nt, 3)
@@ -324,26 +363,28 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                     out = plic.fused_gather_conv_w(
                         gx8, flat_idx[:, None, :], tab, rk8k, rk8, w2,
                         float(sigma), tp, kt, nt, chunk, interpret)
-                    return out.reshape(bb, pp, na, d_out)
+                    return out                       # [b, p, na*d] packed
                 F = plic.fused_gather_neighbor_conv(
                     gx8, flat_idx[:, None, :], tab, rk8, float(sigma),
                     tp, kt, nt, chunk, interpret)
                 Wp = (W_pad if cs == c_in else
                       jnp.pad(W_pad, ((0, 0), (0, cs - c_in), (0, 0))))
-                return jnp.einsum('bapkc,kcd->bpad', F.astype(cdt),
-                                  Wp.astype(cdt),
-                                  preferred_element_type=jnp.float32)
-            feats_pad = sampling.add_shadow_feature(feats)
-            if use_onehot:
+                out = jnp.einsum('bapkc,kcd->bpad', F.astype(cdt),
+                                 Wp.astype(cdt),
+                                 preferred_element_type=jnp.float32)
+                return out.reshape(bb, pp, -1)
+            if packed_in:
+                Gfeat = jnp.pad(feats.astype(cdt), ((0, 0), (0, 1), (0, 0)))
+            else:
+                feats_pad = sampling.add_shadow_feature(feats)
                 Gfeat = feats_pad.astype(cdt).reshape(bb, qq, na * c_in)
+            if use_onehot:
                 Ga = sampling.gather_rows_onehot(Gfeat, flat_idx)
                 raw = jax.lax.stop_gradient(
                     sampling.gather_rows_onehot(xyz_cols, flat_idx)[..., :3])
                 extra_lanes = 0
             else:
-                Gflat = jnp.concatenate(
-                    [feats_pad.astype(cdt).reshape(bb, qq, na * c_in),
-                     xyz_cols], axis=-1)
+                Gflat = jnp.concatenate([Gfeat, xyz_cols], axis=-1)
                 Ga = jnp.take_along_axis(
                     Gflat, flat_idx[:, :, None], axis=1,
                     mode='promise_in_bounds')
@@ -360,9 +401,10 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                                          tp, kt, nt, chunk, extra_lanes,
                                          interpret)
             # [b, na, p, k~, c] x [k~, c, d] — pad rows of F are exactly 0
-            return jnp.einsum('bapkc,kcd->bpad', F.astype(cdt),
-                              W_pad.astype(cdt),
-                              preferred_element_type=jnp.float32)
+            out = jnp.einsum('bapkc,kcd->bpad', F.astype(cdt),
+                             W_pad.astype(cdt),
+                             preferred_element_type=jnp.float32)
+            return out.reshape(bb, pp, -1)
 
         if remat and _USE_REMAT:
             pl_layer = jax.checkpoint(pl_layer)
@@ -370,9 +412,13 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
             pl_layer = pmesh.data_shard_map(pl_layer, shard_mesh,
                                             n_data_args=4, n_repl_args=3)
         out = pl_layer(feats, xyz_cols, idx_pad, new_xyz, rk8, rk8k,
-                       W_pad)
+                       W_pad)                            # [b, p2, na*d]
+        if not packed_io:
+            out = out.reshape(out.shape[0], out.shape[1], na, -1)
         return inter_idx, new_xyz, out, sample_idx
 
+    if packed_in:
+        feats = feats.reshape(feats.shape[0], feats.shape[1], na, c_in)
     grouped_xyz, inter_idx, sample_idx, new_xyz = sampling.inter_grouping_ball(
         xyz, stride, radius * radius_expansion, n_neighbor, lazy_sample)
     feats_pad = sampling.add_shadow_feature(feats)    # [b, p1+1, a, c]
@@ -416,6 +462,8 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
             jax.lax.slice_in_dim(anchors, s, s + chunk, axis=0),
             jax.lax.slice_in_dim(feats_pad, s, s + chunk, axis=2)))
     out = jnp.concatenate(outs, axis=2)
+    if packed_io:
+        out = out.reshape(out.shape[0], out.shape[1], -1)
     return inter_idx, new_xyz, out, sample_idx
 
 
