@@ -60,6 +60,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e9
 
+# VMEM working-set budget for the n_sub (point-subtiles per grid step)
+# pickers. Larger blocks amortize per-grid-step overheads (block streaming
+# setup, pipeline bubbles) — measured dominant on narrow-channel layers
+# whose MXU work per step is small. v5e has 128 MB VMEM; the hard cap is
+# the 100 MB vmem_limit_bytes on each pallas_call.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def set_vmem_budget(nbytes: int):
+    global _VMEM_BUDGET
+    _VMEM_BUDGET = int(nbytes)
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -255,7 +267,7 @@ def _bwd_kernel(gx8_ref, df_ref, rk8_ref, dg_ref, *, sigma, tp, kt, nt,
 def _pick_n_sub(p: int, tp: int, kt: int, nt: int, c: int, ac: int,
                 g_itemsize: int, o_itemsize: int) -> int:
     """Subtiles per block under a ~6 MB double-buffered VMEM budget."""
-    budget = 6 * 1024 * 1024
+    budget = min(_VMEM_BUDGET, 24 * 1024 * 1024)
     per_sub = (16 * tp * nt * 4                # gx16 block rows
                + ac * tp * nt * c * g_itemsize  # G block
                + ac * tp * kt * c * o_itemsize)  # out block
@@ -269,7 +281,7 @@ def _pick_n_sub_gather(p: int, tp: int, kt: int, nt: int, c: int, ac: int,
                        qp: int, g_itemsize: int, o_itemsize: int) -> int:
     """Subtiles per block for the gather-fused kernel: the support-table
     block is grid-step-fixed; S and the gathered G scale with n_sub."""
-    budget = 8 * 1024 * 1024
+    budget = min(_VMEM_BUDGET, 32 * 1024 * 1024)
     fixed = qp * ac * c * g_itemsize               # support table block
     per_sub = (16 * tp * nt * 4                    # gx16 block rows
                + tp * nt * 4                       # idx rows
@@ -528,7 +540,7 @@ def _pick_n_sub_gather_w(p: int, tp: int, kt: int, nt: int, c: int, d: int,
     n_sub % grp == 0 (grp subtiles batch into one 8-sublane-aligned fs
     store) and n_sub | (p // tp). Returns 0 if unsatisfiable."""
     grp = max(1, 8 // tp)
-    budget = 10 * 1024 * 1024
+    budget = _VMEM_BUDGET
     fixed = (qp * ac * c + kt * c * d) * g_itemsize
     per_sub = (16 * tp * nt * 4                 # gx16 rows
                + tp * nt * 4                    # idx rows

@@ -272,6 +272,67 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
         else:
             use_pl = False
 
+    # Occupancy-ones block-0 fast path: the neighbor contraction degenerates
+    # to a pure anchor-weight sum (ref: base_so3conv.py:16-23 +
+    # so3conv/functional.py:25-44), computed by a dedicated Pallas kernel
+    # with NO per-neighbor coordinate gather (absolute-coordinate expansion;
+    # see ops/pallas/ones_conv.py). bf16 mode only — fp32 stays on the
+    # exact XLA formulation below.
+    if ones_input and c_in == 1 and cdt == jnp.bfloat16:
+        from .pallas import ones_conv as ploc
+        if use_pallas is None:
+            use_ones = _USE_PALLAS and not interpret
+        else:
+            use_ones = use_pallas
+        p1 = xyz.shape[1]
+        kt_o = ploc.pick_kt(na, kernels.shape[0])
+        nt_o = ploc.pick_nt(n_neighbor)
+        ones_mesh = None
+        if use_ones and jax.device_count() > 1:
+            gm = pmesh.get_global_mesh()
+            if (gm is not None and pmesh.axis_size(gm, 'anchor') == 1
+                    and pmesh.axis_size(gm, 'data') > 1
+                    and feats.shape[0] % pmesh.axis_size(gm, 'data') == 0):
+                ones_mesh = gm
+            else:
+                use_ones = False
+        if use_ones and ploc.supported(-(-p1 // stride), p1 + 1, nt_o,
+                                       na, kt_o):
+            _, inter_idx, sample_idx, new_xyz = sampling.inter_grouping_ball(
+                xyz, stride, radius * radius_expansion, n_neighbor,
+                lazy_sample, gather_xyz=False)
+            nn_real = inter_idx.shape[2]
+            idx_pad = inter_idx if nt_o == nn_real else jnp.pad(
+                inter_idx, ((0, 0), (0, 0), (0, nt_o - nn_real)),
+                constant_values=p1)                    # pad -> shadow row
+            rk_all = jnp.einsum('aij,kj->aki', anchors, kernels)
+            lanes = na * kt_o
+            rk16 = ploc.make_rk16_ones(rk_all, k2, kt_o, lanes)
+            k8o = ploc.make_k8_ones(rk_all, kt_o, lanes)
+            d_out = W.shape[-1]
+            W2 = jnp.pad(W.reshape(W.shape[0], d_out),
+                         ((0, kt_o - W.shape[0]), (0, 0)))
+
+            def ones_layer(xyz_s, idx_s, new_xyz_s, rk16, k8o, W2):
+                bb, pp = idx_s.shape[:2]
+                tab16 = ploc.make_tab16(sampling.add_shadow_point(xyz_s))
+                xp8 = ploc.make_xp8(new_xyz_s)
+                F = ploc.ones_weight_sum(
+                    idx_s.reshape(bb, 1, pp * nt_o), tab16, xp8, rk16,
+                    k8o, float(sigma), nt_o, cdt, interpret)
+                out = jnp.einsum(
+                    'bpak,kd->bpad', F.reshape(bb, pp, na, kt_o),
+                    W2.astype(cdt), preferred_element_type=jnp.float32)
+                return out.reshape(bb, pp, na * d_out)
+
+            if ones_mesh is not None:
+                ones_layer = pmesh.data_shard_map(
+                    ones_layer, ones_mesh, n_data_args=3, n_repl_args=3)
+            out = ones_layer(xyz, idx_pad, new_xyz, rk16, k8o, W2)
+            if not packed_io:
+                out = out.reshape(out.shape[0], out.shape[1], na, d_out)
+            return inter_idx, new_xyz, out, sample_idx
+
     if use_pl:
         # Single-pass Pallas path (no XLA-level anchor chunking): ONE
         # row-gather per layer with (na*c + 8)-wide rows — TPU gathers are
@@ -335,18 +396,22 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                 # megagather fused into the kernel: the gathered [rows,
                 # na*c] tensor never exists in HBM; the kernel streams the
                 # support table per anchor chunk and one-hot-selects rows
-                # in VMEM (exact). Shadow row + 8-row alignment + dtype in
-                # ONE fused pad (separate concat/pad copies cost ~1 ms).
-                qp = -(-qq // 8) * 8
+                # in VMEM (exact). No shadow row: shadow indices (== p1s)
+                # are simply out of the one-hot iota range [0, qp), which
+                # selects an exact zero row for free — with 8-aligned p1s
+                # (every flagship layer) the activations ARE the table,
+                # zero copies (each row pad cost ~0.4 ms/layer, profiled).
+                qp = -(-p1s // 8) * 8
                 if packed_in:
-                    # packed [b, p, na*c] input IS the table layout: one
-                    # row pad, zero reshapes/copies
-                    tab = jnp.pad(feats.astype(cdt),
-                                  ((0, 0), (0, qp - p1s), (0, 0)))
+                    tab = (feats.astype(cdt) if qp == p1s else
+                           jnp.pad(feats.astype(cdt),
+                                   ((0, 0), (0, qp - p1s), (0, 0))))
                 else:
-                    tabf = jnp.pad(feats.astype(cdt),
-                                   ((0, 0), (0, qp - p1s), (0, 0),
-                                    (0, cs - c_in)))
+                    tabf = feats.astype(cdt)
+                    if qp > p1s or cs > c_in:
+                        tabf = jnp.pad(tabf,
+                                       ((0, 0), (0, qp - p1s), (0, 0),
+                                        (0, cs - c_in)))
                     tab = tabf.reshape(bb, qp, na * cs)
                 raw = jax.lax.stop_gradient(
                     sampling.gather_rows_onehot(xyz_cols, flat_idx)[..., :3])
