@@ -323,7 +323,10 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                 out = jnp.einsum(
                     'bpak,kd->bpad', F.reshape(bb, pp, na, kt_o),
                     W2.astype(cdt), preferred_element_type=jnp.float32)
-                return out.reshape(bb, pp, na * d_out)
+                # cast in the GEMM epilogue: a f32 [b, p, na*d] here is
+                # 252 MB on the flagship and costs a layout copy + a
+                # convert fusion (~1.5 ms/step, profiled)
+                return out.astype(cdt).reshape(bb, pp, na * d_out)
 
             if ones_mesh is not None:
                 ones_layer = pmesh.data_shard_map(
