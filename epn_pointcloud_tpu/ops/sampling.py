@@ -60,8 +60,13 @@ _FORCE_ONEHOT = False   # tests: exercise the one-hot paths on CPU
 def _onehot_profitable(q: int, rows: int, lanes: int) -> bool:
     if _FORCE_ONEHOT:
         return True
+    # Wide rows amortize the iota+GEMM even at small row counts — and the
+    # take_along_axis VJP is a serialized scatter fusion (measured 7.8 ms
+    # for a 1536-row x 7680-lane skip-gather backward on the training step,
+    # vs ~0.03 ms for the transposed one-hot GEMM).
+    enough_rows = rows >= _ONEHOT_MIN_ROWS or rows * lanes >= 64 * 1024
     return (jax.default_backend() == 'tpu' and q <= _ONEHOT_MAX_Q
-            and rows >= _ONEHOT_MIN_ROWS and lanes >= 128)
+            and enough_rows and lanes >= 128)
 
 
 def gather_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
