@@ -66,6 +66,7 @@ _BIG = 1e9
 # whose MXU work per step is small. v5e has 128 MB VMEM; the hard cap is
 # the 100 MB vmem_limit_bytes on each pallas_call.
 _VMEM_BUDGET = 10 * 1024 * 1024
+_BWD_BUDGET_MULT = 8
 
 
 def set_vmem_budget(nbytes: int):
@@ -535,13 +536,27 @@ def make_rk8_kmajor(rk: jnp.ndarray, k2: jnp.ndarray, tp: int,
 
 
 def _pick_n_sub_gather_w(p: int, tp: int, kt: int, nt: int, c: int, d: int,
-                         ac: int, qp: int, g_itemsize: int) -> int:
+                         ac: int, qp: int, g_itemsize: int,
+                         bwd: bool = False) -> int:
     """Subtiles per block for the W-fused gather kernel. Must satisfy
     n_sub % grp == 0 (grp subtiles batch into one 8-sublane-aligned fs
     store) and n_sub | (p // tp). Returns 0 if unsatisfiable."""
     grp = max(1, 8 // tp)
-    budget = _VMEM_BUDGET
+    # The backward's extra slabs (dFs, dgs, dtab) roughly double the
+    # working set; give it a larger budget so the point tiles (and the K of
+    # the merged dtab GEMM) stay big — streaming state is still far below
+    # the 100 MB pallas_call limit. Multiplier from a per-layer sweep
+    # (scripts/bench_wbwd.py).
+    if bwd:
+        # per-layer sweep (scripts/bench_wbwd.py sweep): 8x everywhere
+        # except the tp=4 big-table layers (B1L0 shape), where 4x wins
+        budget = _VMEM_BUDGET * (4 if (tp == 4 and qp >= 512)
+                                 else _BWD_BUDGET_MULT)
+    else:
+        budget = _VMEM_BUDGET
     fixed = (qp * ac * c + kt * c * d) * g_itemsize
+    if bwd:
+        fixed += qp * ac * c * 4                # dtab out block (f32)
     per_sub = (16 * tp * nt * 4                 # gx16 rows
                + tp * nt * 4                    # idx rows
                + tp * nt * qp * g_itemsize      # one-hot S
@@ -549,6 +564,9 @@ def _pick_n_sub_gather_w(p: int, tp: int, kt: int, nt: int, c: int, d: int,
                + kt * ac * tp * max(c, 128) * g_itemsize  # fs slab
                + tp * ac * d * 4                # out block
                + tp * ac * d * 4)               # acc
+    if bwd:
+        per_sub += (kt * ac * tp * max(c, 128) * g_itemsize  # dFs slab
+                    + tp * nt * ac * c * g_itemsize)         # dgs rows
     n_sub = max(grp, (budget - 2 * fixed) // (2 * per_sub))
     n_sub = min(n_sub, p // tp)
     while n_sub >= grp and ((p // tp) % n_sub != 0 or n_sub % grp != 0):
@@ -561,7 +579,9 @@ def gather_w_fusable(p2: int, qp: int, ac: int, c: int, d: int, kt: int,
     """Gate for the W-fused gather kernel (on top of gather_fusable)."""
     if (ac * d) % 128 != 0:
         return False
-    return _pick_n_sub_gather_w(p2, tp, kt, nt, c, d, ac, qp, itemsize) > 0
+    return (_pick_n_sub_gather_w(p2, tp, kt, nt, c, d, ac, qp, itemsize) > 0
+            and _pick_n_sub_gather_w(p2, tp, kt, nt, c, d, ac, qp, itemsize,
+                                     bwd=True) > 0)
 
 
 def _fwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
@@ -669,7 +689,7 @@ def _call_gather_w(gx8, idx3, tab, rk8k, w2, sigma, tp, kt, nt, ac,
 
 
 def _bwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
-                         dout_ref, dtab_ref, dw2_ref, fs, dFs, dacc, *,
+                         dout_ref, dtab_ref, dw2_ref, fs, dFs, dacc, dgs, *,
                          sigma, tp, kt, nt, n_sub, ac, c, d):
     """Fully fused backward of _fwd_gather_w_kernel: ONE kernel computes
     dTable (via k-major BD^T and the transposed one-hot select) and dW2
@@ -745,12 +765,17 @@ def _bwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec).astype(gdt)                    # [S, C]
-            # transposed one-hot: scatter dg rows back to support rows
-            dtab_ref[0, :, a * c:(a + 1) * c] += jax.lax.dot_general(
-                s_onehot[st * s:(st + 1) * s, :], dg_sub,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec)                                # [Q~, C] f32
+            dgs[st * s:(st + 1) * s, a * c:(a + 1) * c] = dg_sub
+    # transposed one-hot: scatter ALL dg rows back to support rows in ONE
+    # [Q~, rows] x [rows, AC*C] GEMM + ONE accumulate per grid step. The
+    # previous per-(anchor, subtile) formulation did n_sub*ac small
+    # [Q~, C] GEMMs each with a VMEM read-modify-write of the dtab block
+    # (measured: backward ran at 2.4-4.3x the forward instead of the ~2.1x
+    # its MACs predict; this was the gap).
+    dtab_ref[0] += jax.lax.dot_general(
+        s_onehot, dgs[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec)                                        # [Q~, AC*C]
     # dW2 += f^T dOut (contract the AC*T rows)
     for k in range(kt):
         dw2_ref[k * c:(k + 1) * c, :] += jax.lax.dot_general(
@@ -768,7 +793,7 @@ def _call_gather_w_bwd(gx8, idx3, tab, rk8k, w2, dout, sigma, tp, kt, nt,
     p = gx8.shape[2] // nt
     gdt = tab.dtype
     n_sub = _pick_n_sub_gather_w(p, tp, kt, nt, c, d, ac, qp,
-                                 jnp.dtype(gdt).itemsize)
+                                 jnp.dtype(gdt).itemsize, bwd=True)
     assert n_sub > 0, (p, tp, kt, nt, c, d, ac, qp)
     t = n_sub * tp
     out_shapes = [jax.ShapeDtypeStruct((b, qp, na * c), jnp.float32),
@@ -792,7 +817,8 @@ def _call_gather_w_bwd(gx8, idx3, tab, rk8k, w2, dout, sigma, tp, kt, nt,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((kt, ac * t, c), gdt),
                         pltpu.VMEM((kt, ac * t, c), gdt),
-                        pltpu.VMEM((ac * t, d), gdt)],
+                        pltpu.VMEM((ac * t, d), gdt),
+                        pltpu.VMEM((t * nt, ac * c), gdt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
