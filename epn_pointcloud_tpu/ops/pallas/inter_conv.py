@@ -553,7 +553,9 @@ def _pick_n_sub_gather_w(p: int, tp: int, kt: int, nt: int, c: int, d: int,
         budget = _VMEM_BUDGET * (4 if (tp == 4 and qp >= 512)
                                  else _BWD_BUDGET_MULT)
     else:
-        budget = _VMEM_BUDGET
+        # forward sweep (scripts/bench_wbwd.py fwd): bigger tiles win on
+        # every flagship layer (7.53 -> 7.07 ms on B0L1 etc.)
+        budget = _VMEM_BUDGET * 4
     fixed = (qp * ac * c + kt * c * d) * g_itemsize
     if bwd:
         fixed += qp * ac * c * 4                # dtab out block (f32)

@@ -97,5 +97,36 @@ def sweep():
 if 'sweep' in sys.argv:
     main = sweep
 
+
+def sweep_fwd():
+    import epn_pointcloud_tpu.ops.pallas.inter_conv as icm
+    rng = np.random.RandomState(0)
+    for name, p, q, nn, c, d in LAYERS:
+        nt, tp, kt, _ = ic.plan(nn, K)
+        gx = jnp.asarray(rng.randn(B, p, nn, 3).astype(np.float32) * 0.3)
+        gx8 = ic.make_gx8(gx, nt)
+        anch = jnp.asarray(rng.randn(NA, 3, 3).astype(np.float32))
+        ker = jnp.asarray(rng.randn(K, 3).astype(np.float32) * 0.3)
+        rk = jnp.einsum('aij,kj->aki', anch, ker)
+        k2 = jnp.sum(ker ** 2, -1)
+        rk8 = ic.make_rk8(rk, k2, tp, kt)
+        rk8k = ic.make_rk8_kmajor(rk, k2, tp, kt)
+        qp = -(-q // 8) * 8
+        tab = jnp.asarray(rng.randn(B, qp, NA * c)).astype(jnp.bfloat16)
+        idxn = rng.randint(0, q, size=(B, p, nn)).astype(np.int32)
+        idxn = np.pad(idxn, ((0,0),(0,0),(0,nt-nn)), constant_values=q)
+        idx3 = jnp.asarray(idxn.reshape(B, 1, p * nt))
+        w2 = jnp.asarray(rng.randn(kt * c, d)).astype(jnp.bfloat16)
+        row = []
+        for mb in (5, 10, 20, 40):
+            icm.set_vmem_budget(mb * 2 ** 20)
+            ms = device_ms(lambda *a: ic.fused_gather_conv_w(
+                a[0], a[1], a[2], a[3], a[4], a[5], SIGMA, tp, kt, nt, AC, False),
+                gx8, idx3, tab, rk8k, rk8, w2)
+            row.append(f'{mb}MB: {ms:5.2f}')
+        icm.set_vmem_budget(10 * 2 ** 20)
+        print(f'{name}: ' + '  '.join(row))
+
+
 if __name__ == '__main__':
-    (sweep if 'sweep' in sys.argv else main)()
+    (sweep_fwd if 'fwd' in sys.argv else sweep if 'sweep' in sys.argv else main)()
