@@ -77,6 +77,21 @@ def torch_linear_bias_init(fan_in: int):
     return init
 
 
+def _lane_group(c_in: int, c_out: int, lead) -> int:
+    """Anchors to group per lane tile for a narrow-channel 1x1 conv: largest
+    g with g*c_in and g*c_out multiples of 128 that divides the last leading
+    dim (the anchor axis). 1 when channels already tile (or shapes don't)."""
+    if c_in % 128 == 0 and c_out % 128 == 0:
+        return 1
+    if not lead:
+        return 1
+    a = lead[-1]
+    for g in (4, 2):
+        if (g * c_in) % 128 == 0 and (g * c_out) % 128 == 0 and a % g == 0:
+            return g
+    return 1
+
+
 class Dense1x1(fnn.Module):
     """Channel-wise dense == torch Conv2d(c_in, c_out, 1) / Conv1d(.., 1),
     with matching default init."""
@@ -87,8 +102,28 @@ class Dense1x1(fnn.Module):
     def __call__(self, x):
         fan_in = x.shape[-1]
         k = self.param('kernel', torch_linear_kernel_init, (fan_in, self.features))
-        y = jnp.einsum('...c,cd->...d', x, k.astype(x.dtype),
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        # contract as a flat 2-D GEMM: the >=3-D dot emitters pick p-minor
+        # output layouts (EmitAllBatchInSublanes), which forced a 60 MB
+        # layout copy on both sides of every surrounding norm/act fusion in
+        # the packed {2,1,0} activation chain (1.9 GB of copies per flagship
+        # step, profiled); a 2-D dot's row-major output bitcasts cleanly.
+        # Narrow channels (c, d < 128) group g consecutive anchors per
+        # 128-lane tile via a g-block-diagonal weight — [M, 64] operands
+        # tile to half-empty lane tiles and copy anyway (240 MB on block0)
+        lead = x.shape[:-1]
+        g = _lane_group(fan_in, self.features, lead)
+        kx = k.astype(x.dtype)
+        if g > 1:
+            x2 = x.reshape(-1, g * fan_in)
+            kb = jax.scipy.linalg.block_diag(
+                *([kx] * g)) if g > 1 else kx   # [g*c, g*d]
+            y = jnp.einsum('mc,cd->md', x2, kb,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+        else:
+            x2 = x.reshape(-1, fan_in)
+            y = jnp.einsum('mc,cd->md', x2, kx,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y.reshape(*lead, self.features)
         if self.use_bias:
             b = self.param('bias', torch_linear_bias_init(fan_in), (self.features,))
             y = y + b.astype(x.dtype)

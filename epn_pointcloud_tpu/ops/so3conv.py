@@ -320,9 +320,18 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                 F = ploc.ones_weight_sum(
                     idx_s.reshape(bb, 1, pp * nt_o), tab16, xp8, rk16,
                     k8o, float(sigma), nt_o, cdt, interpret)
+                # flat 2-D GEMM: the 4-D dot emitter picks a p-minor output
+                # layout that forces copies around downstream fusions.
+                # Group g anchors per output lane tile (block-diag weight)
+                # so the [M, g*d] result tiles 128 lanes exactly
+                g = next((gg for gg in (2, 4)
+                          if (gg * d_out) % 128 == 0 and na % gg == 0), 1)
+                W2c = W2.astype(cdt)
+                if g > 1:
+                    W2c = jax.scipy.linalg.block_diag(*([W2c] * g))
                 out = jnp.einsum(
-                    'bpak,kd->bpad', F.reshape(bb, pp, na, kt_o),
-                    W2.astype(cdt), preferred_element_type=jnp.float32)
+                    'mk,kd->md', F.reshape(bb * pp * na // g, g * kt_o),
+                    W2c, preferred_element_type=jnp.float32)
                 # cast in the GEMM epilogue: a f32 [b, p, na*d] here is
                 # 252 MB on the flagship and costs a layout copy + a
                 # convert fusion (~1.5 ms/step, profiled)
