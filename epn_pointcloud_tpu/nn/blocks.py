@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 from flax import linen as fnn
 
 from ..ops import sampling
@@ -33,8 +34,9 @@ class IntraSO3ConvBlock(fnn.Module):
     dropout_rate: float = 0.0
 
     @fnn.compact
-    def __call__(self, x: SphericalPointCloud, train: bool = True):
-        x = IntraSO3Conv(self.dim_in, self.dim_out)(x)
+    def __call__(self, x: SphericalPointCloud, train: bool = True,
+                 prenorm=None):
+        x = IntraSO3Conv(self.dim_in, self.dim_out)(x, prenorm=prenorm)
         groups = (x.feats.shape[-1] // self.dim_out
                   if x.feats.ndim == 3 else 1)
         feat = InstanceNorm(groups=groups)(x.feats, train=train)
@@ -65,7 +67,8 @@ class InterSO3ConvBlock(fnn.Module):
 
     @fnn.compact
     def __call__(self, x: SphericalPointCloud, inter_idx=None, inter_w=None,
-                 train: bool = True, ones_input: bool = False):
+                 train: bool = True, ones_input: bool = False,
+                 defer_norm_act: bool = False):
         lazy = True if self.lazy_sample is None else self.lazy_sample
         pooling = None if self.pooling in ('none', None) else self.pooling
         inter_idx, inter_w, sample_idx, x = InterSO3Conv(
@@ -74,14 +77,28 @@ class InterSO3ConvBlock(fnn.Module):
             pooling=pooling, kanchor=self.kanchor,
             ones_input=ones_input)(x, inter_idx, inter_w)
         groups = self.kanchor if x.feats.ndim == 3 else 1
-        feat = make_norm(self.norm)(groups=groups)(x.feats, train=train)
+        norm_mod = make_norm(self.norm)(groups=groups)
+        if (defer_norm_act and x.feats.ndim == 3 and groups > 1
+                and self.dropout_rate == 0
+                and self.activation in (None, 'relu', 'leaky_relu')):
+            # return per-lane (scale, shift) for the downstream intra kernel
+            # to apply on load instead of paying a full read+write pass here
+            scale, shift = norm_mod(x.feats, train=train, scale_shift=True)
+            b, _, L = x.feats.shape
+            ss = jnp.zeros((b, 8, L), jnp.float32)
+            ss = ss.at[:, 0, :].set(jnp.broadcast_to(scale, (b, L)))
+            ss = ss.at[:, 1, :].set(jnp.broadcast_to(shift, (b, L)))
+            return (inter_idx, inter_w, sample_idx, x,
+                    (ss, self.activation))
+        feat = norm_mod(x.feats, train=train)
         act = get_activation(self.activation)
         if act is not None:
             feat = act(feat)
         if self.dropout_rate > 0:
             feat = fnn.Dropout(self.dropout_rate, deterministic=not train)(feat)
-        return inter_idx, inter_w, sample_idx, SphericalPointCloud(
-            x.xyz, feat, x.anchors)
+        out = (inter_idx, inter_w, sample_idx, SphericalPointCloud(
+            x.xyz, feat, x.anchors))
+        return (out + (None,)) if defer_norm_act else out
 
 
 class SeparableSO3ConvBlock(fnn.Module):
@@ -103,7 +120,12 @@ class SeparableSO3ConvBlock(fnn.Module):
         # overhead at each norm)
         from ..ops import so3conv as so3f
         skip_feature = x.feats.astype(so3f.get_compute_dtype())
-        inter_idx, inter_w, sample_idx, x = InterSO3ConvBlock(
+        # defer the inter norm+act into the intra Pallas kernel's load path
+        # when the packed production layout is in play (saves one full
+        # read+write pass over the activation per layer)
+        fuse = (use_intra and p['dropout_rate'] == 0
+                and p['activation'] in ('relu', 'leaky_relu'))
+        ret = InterSO3ConvBlock(
             dim_in=dim_in, dim_out=dim_out, kernel_size=p['kernel_size'],
             stride=p['stride'], radius=p['radius'], sigma=p['sigma'],
             n_neighbor=p['n_neighbor'], multiplier=p.get('multiplier', 2),
@@ -112,22 +134,27 @@ class SeparableSO3ConvBlock(fnn.Module):
             pooling=p.get('pooling') or 'none',
             dropout_rate=p['dropout_rate'])(x, inter_idx, inter_w,
                                             train=train,
-                                            ones_input=ones_input)
+                                            ones_input=ones_input,
+                                            defer_norm_act=fuse)
+        if fuse:
+            inter_idx, inter_w, sample_idx, x, deferred = ret
+        else:
+            inter_idx, inter_w, sample_idx, x = ret
+            deferred = None
 
         if use_intra:
             x = IntraSO3ConvBlock(
                 dim_in=dim_out, dim_out=dim_out,
                 dropout_rate=p['dropout_rate'],
-                activation=p['activation'])(x, train=train)
+                activation=p['activation'])(x, train=train,
+                                            prenorm=deferred)
         if p['stride'] > 1:
             skip_feature = sampling.gather_points(skip_feature, sample_idx)
         if skip_feature.ndim == 3:
             # packed [b, p, na*c]: the 1x1 conv mixes channels per anchor
+            # (grouped Pallas kernel on TPU — stays in the packed layout)
             na = p['kanchor']
-            b2, p2 = skip_feature.shape[:2]
-            sf = skip_feature.reshape(b2, p2, na, dim_in)
-            sf = Dense1x1(dim_out)(sf)
-            skip_feature = sf.reshape(b2, p2, na * dim_out)
+            skip_feature = Dense1x1(dim_out)(skip_feature, packed_groups=na)
             skip_feature = make_norm(p.get('norm'))(groups=na)(
                 skip_feature, train=train)
         else:

@@ -99,7 +99,56 @@ class Dense1x1(fnn.Module):
     use_bias: bool = True
 
     @fnn.compact
-    def __call__(self, x):
+    def __call__(self, x, packed_groups=None):
+        # packed_groups=na: x is packed [b, p, na*c]; apply the [c, d] weight
+        # per anchor block. On TPU this runs the grouped Pallas kernel (packed
+        # layout in/out — no reshapes/layout copies); elsewhere it falls back
+        # to the flat-GEMM formulation below. Param shapes are identical.
+        if packed_groups is not None and x.ndim == 3:
+            na = packed_groups
+            fan_in = x.shape[-1] // na
+            k = self.param('kernel', torch_linear_kernel_init,
+                           (fan_in, self.features))
+            if self.use_bias:
+                bias = self.param('bias', torch_linear_bias_init(fan_in),
+                                  (self.features,))
+            else:
+                bias = jnp.zeros((self.features,), jnp.float32)
+            from ..ops.pallas import grouped_conv as plgc
+            use_pl = (jax.default_backend() == 'tpu'
+                      and plgc.supported(fan_in, self.features, na))
+            shard_mesh = None
+            if use_pl and jax.device_count() > 1:
+                from ..parallel import mesh as pmesh
+                gm = pmesh.get_global_mesh()
+                if (gm is not None and pmesh.axis_size(gm, 'anchor') == 1
+                        and pmesh.axis_size(gm, 'data') > 1
+                        and x.shape[0] % pmesh.axis_size(gm, 'data') == 0):
+                    shard_mesh = gm
+                else:
+                    use_pl = False
+            if use_pl:
+                fn = lambda xx, kk, bb: plgc.grouped_conv1x1(
+                    xx, kk.astype(xx.dtype), bb, na)
+                if shard_mesh is not None:
+                    from ..parallel import mesh as pmesh
+                    fn = pmesh.data_shard_map(fn, shard_mesh, 1, 2)
+                return fn(x, k, bias)
+            b2, p2 = x.shape[:2]
+            x4 = x.reshape(b2, p2, na, fan_in)
+            kx = k.astype(x.dtype)
+            g = _lane_group(fan_in, self.features, x4.shape[:-1])
+            if g > 1:
+                kb = jax.scipy.linalg.block_diag(*([kx] * g))
+                y = jnp.einsum('mc,cd->md', x4.reshape(-1, g * fan_in), kb,
+                               preferred_element_type=jnp.float32)
+            else:
+                y = jnp.einsum('mc,cd->md', x4.reshape(-1, fan_in), kx,
+                               preferred_element_type=jnp.float32)
+            y = y.astype(x.dtype).reshape(b2, p2, na * self.features)
+            if self.use_bias:
+                y = y + jnp.tile(bias, na).astype(x.dtype)
+            return y
         fan_in = x.shape[-1]
         k = self.param('kernel', torch_linear_kernel_init, (fan_in, self.features))
         # contract as a flat 2-D GEMM: the >=3-D dot emitters pick p-minor
@@ -113,7 +162,11 @@ class Dense1x1(fnn.Module):
         lead = x.shape[:-1]
         g = _lane_group(fan_in, self.features, lead)
         kx = k.astype(x.dtype)
-        if g > 1:
+        if fan_in == 1:
+            # rank-1 "GEMM" == broadcast multiply; the flat path would pay
+            # two physical reshapes + a [M,1]x[1,d] pseudo-dot (block0 skip)
+            y = x * kx[0]
+        elif g > 1:
             x2 = x.reshape(-1, g * fan_in)
             kb = jax.scipy.linalg.block_diag(
                 *([kx] * g)) if g > 1 else kx   # [g*c, g*d]
@@ -160,9 +213,13 @@ def _packed_sums(x3):
     return xf.sum(axis=1), jnp.square(xf).sum(axis=1)
 
 
-def _packed_instance_norm(x3, groups: int, eps: float):
+def _packed_instance_norm(x3, groups: int, eps: float, scale_shift=False):
     """InstanceNorm2d semantics on packed [b, p, groups*c] activations:
-    per-(b, c) stats over (p, groups), one-pass E[x^2]-E[x]^2 in f32."""
+    per-(b, c) stats over (p, groups), one-pass E[x^2]-E[x]^2 in f32.
+
+    scale_shift=True: instead of applying, return per-lane f32
+    (scale, shift) [b, L] with  normed == x * scale + shift  — for deferring
+    the apply into a downstream Pallas kernel's load path."""
     b, p, L = x3.shape
     c = L // groups
     s, sq = _packed_sums(x3)                        # [b, L] f32
@@ -172,6 +229,10 @@ def _packed_instance_norm(x3, groups: int, eps: float):
     mean = sc / n
     var = jnp.maximum(sqc / n - jnp.square(mean), 0.0)
     rsig = jax.lax.rsqrt(var + eps)
+    if scale_shift:
+        scale_l = jnp.tile(rsig, (1, groups))
+        shift_l = jnp.tile(-mean * rsig, (1, groups))
+        return scale_l, shift_l                     # [b, L] f32 each
     mean_l = jnp.tile(mean, (1, groups))[:, None, :]
     rsig_l = jnp.tile(rsig, (1, groups))[:, None, :]
     y = (x3.astype(jnp.float32) - mean_l) * rsig_l
@@ -189,9 +250,12 @@ class InstanceNorm(fnn.Module):
     groups: int = 1
 
     @fnn.compact
-    def __call__(self, x, train: bool = True):  # train ignored (no stats)
+    def __call__(self, x, train: bool = True, scale_shift: bool = False):
+        # train ignored (no running stats)
         if x.ndim == 3 and self.groups > 1:
-            return _packed_instance_norm(x, self.groups, self.epsilon)
+            return _packed_instance_norm(x, self.groups, self.epsilon,
+                                         scale_shift=scale_shift)
+        assert not scale_shift, 'scale_shift only for packed 3D input'
         mean, var = _moments(x, axes=(1, 2))
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         return y.astype(x.dtype)
@@ -220,8 +284,10 @@ class BatchNorm(fnn.Module):
     groups: int = 1        # packed [b, p, groups*c] input support
 
     @fnn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, scale_shift: bool = False):
         packed = x.ndim == 3 and self.groups > 1
+        assert packed or not scale_shift, \
+            'scale_shift only for packed 3D input'
         c = x.shape[-1] // self.groups if packed else x.shape[-1]
         scale = self.param('scale', fnn.initializers.ones, (c,))
         bias = self.param('bias', fnn.initializers.zeros, (c,))
@@ -252,6 +318,12 @@ class BatchNorm(fnn.Module):
 
         rsig = jax.lax.rsqrt(var + self.epsilon)
         if packed:
+            if scale_shift:
+                # normed == x * scale_l + shift_l, per-lane f32 [1, L]
+                scale_l = jnp.tile(rsig * scale, self.groups)[None, :]
+                shift_l = jnp.tile(bias - mean * rsig * scale,
+                                   self.groups)[None, :]
+                return scale_l, shift_l
             mean_l = jnp.tile(mean, self.groups)[None, None, :]
             rs_l = jnp.tile(rsig * scale, self.groups)[None, None, :]
             sh_l = jnp.tile(bias, self.groups)[None, None, :]
@@ -313,7 +385,11 @@ class IntraSO3Conv(fnn.Module):
     dim_out: int
 
     @fnn.compact
-    def __call__(self, x: SphericalPointCloud) -> SphericalPointCloud:
+    def __call__(self, x: SphericalPointCloud,
+                 prenorm=None) -> SphericalPointCloud:
+        # prenorm: optional (ss [b, 8, na*c_in] f32, act_name) — the deferred
+        # norm-apply + activation of the preceding inter conv, fused into the
+        # Pallas kernel's load path (applied explicitly on non-Pallas paths)
         ti = _intra_idx_const()                       # [60, 12] numpy
         na, n_kernel = ti.shape
         W = self.param('W', so3conv_weight_init(self.dim_in, self.dim_out,
@@ -339,7 +415,7 @@ class IntraSO3Conv(fnn.Module):
         if use_pl:
             # fused Pallas kernel: true MACs on the MXU, VMEM-resident
             # anchor mixing, no [b,p,x,k,d] HBM intermediate
-            from ..ops.pallas.intra_conv import intra_conv
+            from ..ops.pallas.intra_conv import intra_conv, intra_conv_prenorm
             c1 = self.dim_in
             if packed:
                 f3 = x.feats.astype(cdt)
@@ -355,18 +431,34 @@ class IntraSO3Conv(fnn.Module):
             t = 64
             while t < 256 and 2 * t * na * self.dim_out * 4 <= 4 * 2 ** 20:
                 t *= 2
-            fn = lambda f, w: intra_conv(f, w, tit, t)
-            if shard_mesh is not None:
-                from ..parallel import mesh as pmesh
-                fn = pmesh.data_shard_map(fn, shard_mesh, 1, 1)
-            out = fn(f3, w2)
+            if prenorm is not None:
+                ss, act_name = prenorm
+                fn = lambda f, s, w: intra_conv_prenorm(f, s, w, tit,
+                                                        act_name, 0.01, t)
+                if shard_mesh is not None:
+                    from ..parallel import mesh as pmesh
+                    fn = pmesh.data_shard_map(fn, shard_mesh, 2, 1)
+                out = fn(f3, ss, w2)
+            else:
+                fn = lambda f, w: intra_conv(f, w, tit, t)
+                if shard_mesh is not None:
+                    from ..parallel import mesh as pmesh
+                    fn = pmesh.data_shard_map(fn, shard_mesh, 1, 1)
+                out = fn(f3, w2)
             # stay in the compute dtype: the f32 upcast here cost a 0.6 ms
             # convert + 0.8 ms layout copy per layer (profiled); norms take
             # their stats in f32 regardless
             if not packed:
                 out = out.reshape(b, p, na, self.dim_out)
         else:
-            f4 = so3f.unpack_feats(x.feats, na) if packed else x.feats
+            feats = x.feats
+            if prenorm is not None:                  # packed 3D by contract
+                ss, act_name = prenorm
+                u = (feats.astype(jnp.float32) * ss[:, 0:1, :]
+                     + ss[:, 1:2, :]).astype(cdt)
+                feats = (getattr(jax.nn, act_name)(u)
+                         if act_name not in (None, 'none') else u)
+            f4 = so3f.unpack_feats(feats, na) if packed else feats
             M = jnp.asarray(_intra_onehot_const(), dtype=cdt)   # [x, a, k]
             Y = jnp.einsum('bpxc,kcd->bpxkd', f4.astype(cdt),
                            W.astype(cdt))

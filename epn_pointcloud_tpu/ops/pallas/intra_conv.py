@@ -47,6 +47,20 @@ def _pairs(trace_idx: np.ndarray):
     return pairs
 
 
+def _apply_prenorm(f, ss, act, alpha):
+    """z = act((f32(f) * scale + shift).astype(f.dtype)) — the deferred
+    norm-apply + activation of the preceding inter conv, fused into this
+    kernel's load path (saves a full read+write pass over the packed
+    activation per layer). ss rows: 0 = per-lane scale, 1 = per-lane shift."""
+    u = f.astype(jnp.float32) * ss[0:1, :] + ss[1:2, :]
+    # activation in f32 (bf16 compares don't lower on this Mosaic target)
+    if act == 'leaky_relu':
+        u = jnp.where(u >= 0, u, alpha * u)
+    elif act == 'relu':
+        u = jnp.maximum(u, 0.0)
+    return u.astype(f.dtype)
+
+
 def _kernel(f_ref, w2_ref, out_ref, acc, *, pairs, na, nk, c, d):
     w2 = w2_ref[:]                                        # [C, K*D]
     prec = (jax.lax.Precision.HIGHEST if f_ref.dtype == jnp.float32
@@ -62,7 +76,25 @@ def _kernel(f_ref, w2_ref, out_ref, acc, *, pairs, na, nk, c, d):
     out_ref[0] = acc[:].astype(out_ref.dtype)
 
 
-def _fwd_pallas(f_flat, w2, trace_idx, t, interpret):
+def _kernel_prenorm(f_ref, ss_ref, w2_ref, out_ref, acc, *, pairs, na, nk,
+                    c, d, act, alpha):
+    w2 = w2_ref[:]                                        # [C, K*D]
+    prec = (jax.lax.Precision.HIGHEST if f_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    z = _apply_prenorm(f_ref[0], ss_ref[0], act, alpha)   # [T, na*C]
+    acc[:] = jnp.zeros_like(acc)
+    for x in range(na):
+        fx = z[:, x * c:(x + 1) * c]                      # [T, C]
+        yx = jax.lax.dot_general(
+            fx, w2, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)  # [T, K*D]
+        for a, k in pairs[x]:
+            acc[:, a * d:(a + 1) * d] += yx[:, k * d:(k + 1) * d]
+    out_ref[0] = acc[:].astype(out_ref.dtype)
+
+
+def _fwd_pallas(f_flat, w2, trace_idx, t, interpret, ss=None, act=None,
+                alpha=0.01):
     b, p_total, nac = f_flat.shape
     na, nk = trace_idx.shape
     c = nac // na
@@ -76,13 +108,26 @@ def _fwd_pallas(f_flat, w2, trace_idx, t, interpret):
         f_flat = jnp.pad(f_flat, ((0, 0), (0, p - p_total), (0, 0)))
     while p % t != 0:
         t -= 8
-    out = pl.pallas_call(
-        functools.partial(_kernel, pairs=pairs, na=na, nk=nk, c=c, d=d),
-        grid=(b, p // t),
-        in_specs=[
+    if ss is None:
+        kern = functools.partial(_kernel, pairs=pairs, na=na, nk=nk, c=c, d=d)
+        in_specs = [
             pl.BlockSpec((1, t, na * c), lambda bb, pt: (bb, pt, 0)),
             pl.BlockSpec((w2.shape[0], w2.shape[1]), lambda bb, pt: (0, 0)),
-        ],
+        ]
+        operands = (f_flat, w2)
+    else:
+        kern = functools.partial(_kernel_prenorm, pairs=pairs, na=na, nk=nk,
+                                 c=c, d=d, act=act, alpha=alpha)
+        in_specs = [
+            pl.BlockSpec((1, t, na * c), lambda bb, pt: (bb, pt, 0)),
+            pl.BlockSpec((1, 8, na * c), lambda bb, pt: (bb, 0, 0)),
+            pl.BlockSpec((w2.shape[0], w2.shape[1]), lambda bb, pt: (0, 0)),
+        ]
+        operands = (f_flat, ss, w2)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, p // t),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, t, na * d), lambda bb, pt: (bb, pt, 0)),
         out_shape=jax.ShapeDtypeStruct((b, p, na * d), f_flat.dtype),
         scratch_shapes=[pltpu.VMEM((t, na * d), jnp.float32)],
@@ -94,7 +139,7 @@ def _fwd_pallas(f_flat, w2, trace_idx, t, interpret):
                             + b * p * na * d * f_flat.dtype.itemsize),
             transcendentals=0),
         interpret=interpret,
-    )(f_flat, w2)
+    )(*operands)
     return out[:, :p_total] if p > p_total else out
 
 
@@ -211,3 +256,61 @@ def _intra_bwd(trace_idx_tuple, t, interpret, res, dout):
 
 
 intra_conv.defvjp(_intra_fwd, _intra_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def intra_conv_prenorm(f_flat, ss, w2, trace_idx_tuple, act='leaky_relu',
+                       alpha=0.01, t=64, interpret=False):
+    """intra_conv with the PRECEDING inter-conv's norm-apply + activation
+    fused into the kernel's load path:
+
+        out = intra_conv(act(f * scale + shift), w2)
+
+    ss: [b, 8, na*c] f32 — row 0 = per-lane scale, row 1 = per-lane shift
+    (rows 2-7 padding for the 8-sublane block tile). The scale/shift come
+    from InstanceNorm/BatchNorm stats computed outside (the stats pass reads
+    f once regardless); fusing the APPLY saves one full read+write pass over
+    the packed activation per layer (~0.4 ms/layer on the flagship).
+
+    Backward recomputes z = act(f*scale+shift) with XLA, runs the existing
+    fused backward kernel on z, then maps dz -> (df, dscale, dshift)
+    elementwise — training-neutral, forward saves its pass.
+    """
+    ti = np.asarray(trace_idx_tuple, dtype=np.int64)
+    return _fwd_pallas(f_flat, w2, ti, t, interpret, ss=ss, act=act,
+                       alpha=alpha)
+
+
+def _prenorm_fwd(f_flat, ss, w2, trace_idx_tuple, act, alpha, t, interpret):
+    out = intra_conv_prenorm(f_flat, ss, w2, trace_idx_tuple, act, alpha, t,
+                             interpret)
+    return out, (f_flat, ss, w2)
+
+
+def _prenorm_bwd(trace_idx_tuple, act, alpha, t, interpret, res, dout):
+    f_flat, ss, w2 = res
+    ti = np.asarray(trace_idx_tuple, dtype=np.int64)
+    scale = ss[:, 0:1, :]                                  # [b, 1, L] f32
+    shift = ss[:, 1:2, :]
+    u = (f_flat.astype(jnp.float32) * scale + shift).astype(f_flat.dtype)
+    if act == 'leaky_relu':
+        z = jnp.where(u >= 0, u, jnp.asarray(alpha, u.dtype) * u)
+        mask = jnp.where(u >= 0, 1.0, alpha)
+    elif act == 'relu':
+        z = jnp.maximum(u, jnp.asarray(0, u.dtype))
+        mask = (u >= 0).astype(jnp.float32)
+    else:
+        z = u
+        mask = None
+    dz, dw2 = _bwd_pallas(z, dout, w2, ti, t, interpret)
+    du = dz.astype(jnp.float32) if mask is None else (
+        dz.astype(jnp.float32) * mask)
+    df = (du * scale).astype(f_flat.dtype)
+    dscale = (du * f_flat.astype(jnp.float32)).sum(axis=1)  # [b, L]
+    dshift = du.sum(axis=1)
+    dss = jnp.zeros_like(ss)
+    dss = dss.at[:, 0, :].set(dscale).at[:, 1, :].set(dshift)
+    return df, dss, dw2.astype(w2.dtype)
+
+
+intra_conv_prenorm.defvjp(_prenorm_fwd, _prenorm_bwd)
