@@ -113,7 +113,16 @@ def furthest_point_sampling(xyz: jnp.ndarray, n_sample: int) -> jnp.ndarray:
     """
     if jax.default_backend() == 'tpu':
         from .pallas.fps import fps_pallas
-        return fps_pallas(xyz, n_sample, FPS_SHADOW_EPS)
+        fn = lambda x: fps_pallas(x, n_sample, FPS_SHADOW_EPS)
+        if jax.device_count() > 1:
+            # Pallas is opaque to GSPMD: shard_map over an installed
+            # data-parallel mesh, XLA loop otherwise
+            from ..parallel import mesh as pmesh
+            sm = pmesh.data_mesh_for(xyz.shape[0])
+            if sm is not None:
+                return pmesh.data_shard_map(fn, sm, 1, 0)(xyz)
+        else:
+            return fn(xyz)
     b, n, _ = xyz.shape
     mag = jnp.sum(xyz ** 2, axis=-1)                    # [b, n]
     valid = mag > FPS_SHADOW_EPS                        # [b, n]
@@ -170,15 +179,23 @@ def ball_query(query: jnp.ndarray, support: jnp.ndarray, radius: float,
     k_eff = min(n_sample, n)  # n_sample may exceed the support size
 
     from .pallas import ball_query as plbq
+    from ..parallel import mesh as pmesh
+    shard_mesh = None
     if use_pallas is None:
-        # Pallas is opaque to GSPMD: single-device TPU only by default
-        use_pl = (jax.default_backend() == 'tpu' and jax.device_count() == 1)
+        # Pallas is opaque to GSPMD: shard_map over 'data' when a global
+        # data-parallel mesh is installed; single device runs it bare
+        use_pl = jax.default_backend() == 'tpu'
+        if use_pl and jax.device_count() > 1:
+            shard_mesh = pmesh.data_mesh_for(b)
+            use_pl = shard_mesh is not None
     else:
         use_pl = use_pallas
     if use_pl and plbq.supported(m, n, k_eff):
-        idx_raw, cnt_raw = plbq.ball_query_pallas(
-            query, support, r2, k_eff,
-            interpret=jax.default_backend() != 'tpu')
+        fn = lambda q_, s_: plbq.ball_query_pallas(
+            q_, s_, r2, k_eff, interpret=jax.default_backend() != 'tpu')
+        if shard_mesh is not None:
+            fn = pmesh.data_shard_map(fn, shard_mesh, 2, 0)
+        idx_raw, cnt_raw = fn(query, support)
         out = jnp.where(idx_raw < n, idx_raw, 0)
         cnt = jnp.minimum(cnt_raw[:, 0], n_sample)
     else:

@@ -85,6 +85,22 @@ def axis_size(mesh: Mesh, name: str) -> int:
     return int(sizes.get(name, 1))
 
 
+def data_mesh_for(batch: int) -> Mesh | None:
+    """The installed global mesh when a Pallas path can shard_map over it:
+    purely data-parallel (anchor axis 1), >1 device on 'data', and the batch
+    divides. None otherwise (callers fall back to XLA formulations, which
+    GSPMD partitions fine). Single-device returns None (no wrapping needed).
+    """
+    if jax.device_count() <= 1:
+        return None
+    gm = _GLOBAL_MESH
+    if (gm is not None and axis_size(gm, 'anchor') == 1
+            and axis_size(gm, 'data') > 1
+            and batch % axis_size(gm, 'data') == 0):
+        return gm
+    return None
+
+
 def data_shard_map(fn, mesh: Mesh, n_data_args: int, n_repl_args: int):
     """shard_map `fn` over the 'data' axis: the first n_data_args are
     batch-sharded, the remaining n_repl_args replicated; one batch-sharded

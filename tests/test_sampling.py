@@ -185,3 +185,39 @@ def test_ball_query_pallas_matches_xla():
         a = sampling.ball_query(q, s, r, ns, use_pallas=False)
         b = sampling.ball_query(q, s, r, ns, use_pallas=True)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), (r, ns)
+
+
+def test_ball_query_and_fps_shard_map_multidevice():
+    """The Pallas ball-query and FPS kernels run under shard_map over the
+    'data' axis on multi-device meshes (GSPMD cannot partition opaque Pallas
+    calls); per-shard results must equal the unsharded call."""
+    import jax
+    import pytest as _pytest
+    from epn_pointcloud_tpu.parallel import mesh as pmesh
+    from epn_pointcloud_tpu.ops.pallas import ball_query as plbq
+    from epn_pointcloud_tpu.ops.pallas.fps import fps_pallas
+    if len(jax.devices()) < 2:
+        _pytest.skip('needs multi-device backend')
+    rng = np.random.RandomState(7)
+    b, m, n, k = 8, 32, 64, 8
+    query = jnp.asarray(rng.randn(b, m, 3).astype(np.float32) * 0.4)
+    support = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.4)
+    mesh = pmesh.make_mesh()
+    pmesh.set_global_mesh(mesh)
+    try:
+        assert pmesh.data_mesh_for(b) is mesh
+        assert pmesh.data_mesh_for(b - 1) is None  # batch must divide
+
+        bq = lambda q, s: plbq.ball_query_pallas(q, s, 0.36, k,
+                                                 interpret=True)
+        i1, c1 = jax.jit(bq)(query, support)
+        i2, c2 = jax.jit(pmesh.data_shard_map(bq, mesh, 2, 0))(query, support)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+        fp = lambda x: fps_pallas(x, 16, 1e-3, interpret=True)
+        f1 = jax.jit(fp)(support)
+        f2 = jax.jit(pmesh.data_shard_map(fp, mesh, 1, 0))(support)
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    finally:
+        pmesh.set_global_mesh(None)
