@@ -69,6 +69,22 @@ def _onehot_profitable(q: int, rows: int, lanes: int) -> bool:
             and enough_rows and lanes >= 128)
 
 
+def batched_index_select(x: jnp.ndarray, dim: int,
+                         index: jnp.ndarray) -> jnp.ndarray:
+    """Gather along `dim` with a per-batch index [b, m]
+    (ref: spconv/functional.py:361-369). Equivalent to torch.gather after
+    expanding the index over the non-`dim` axes; `dim` == 1 dispatches to
+    the TPU-optimized gather_points path."""
+    if dim == 1:
+        return gather_points(x, index)
+    shape = [1] * x.ndim
+    shape[0], shape[dim] = index.shape[0], index.shape[1]
+    idx = index.reshape(shape)
+    idx = jnp.broadcast_to(idx, x.shape[:dim] + (index.shape[1],)
+                           + x.shape[dim + 1:])
+    return jnp.take_along_axis(x, idx, axis=dim)
+
+
 def gather_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Batched index gather along the point axis (axis=1).
 

@@ -221,3 +221,24 @@ def test_ball_query_and_fps_shard_map_multidevice():
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     finally:
         pmesh.set_global_mesh(None)
+
+
+def test_batched_index_select_matches_torch_gather():
+    """batched_index_select == torch.gather with the expanded index
+    (ref: spconv/functional.py:361-369), along dims 1 and 2."""
+    import torch
+    from epn_pointcloud_tpu.ops.sampling import batched_index_select
+    rng = np.random.RandomState(11)
+    x = rng.randn(3, 7, 5, 4).astype(np.float32)
+    for dim, m in ((1, 9), (2, 6)):
+        index = rng.randint(0, x.shape[dim], size=(3, m)).astype(np.int64)
+        ti = torch.from_numpy(index)
+        for ii in range(1, x.ndim):
+            if ii != dim:
+                ti = ti.unsqueeze(ii)
+        expanse = list(x.shape)
+        expanse[0] = -1
+        expanse[dim] = -1
+        ref = torch.gather(torch.from_numpy(x), dim, ti.expand(expanse))
+        out = batched_index_select(jnp.asarray(x), dim, jnp.asarray(index))
+        np.testing.assert_allclose(np.asarray(out), ref.numpy())
