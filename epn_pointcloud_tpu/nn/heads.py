@@ -91,16 +91,29 @@ class ClsOutBlockPointnet(fnn.Module):
     def __call__(self, x: SphericalPointCloud, label=None, train: bool = True):
         p = self.params
         na = p['kanchor']
-        x_out = _so3f.unpack_feats(x.feats, na)      # [b, p, a, c]
+        packed = x.feats.ndim == 3 and na > 1
 
         if self.debug:
+            x_out = _so3f.unpack_feats(x.feats, na)
             return x_out[..., :40].mean(axis=(1, 2)), None
 
         c_in = p['dim_in']
-        for c in p['mlp']:
-            x_out = Dense1x1(c)(x_out)
-            x_out = jax.nn.relu(BatchNorm()(x_out, train=train))
-            c_in = c
+        if packed:
+            # stay in the packed [b, p, na*c] layout through the mlp convs
+            # (the 4D unpack is a physical re-tile; Dense1x1/BatchNorm both
+            # have packed modes), unpack once for the pointnet
+            x_out = x.feats
+            for c in p['mlp']:
+                x_out = Dense1x1(c)(x_out, packed_groups=na)
+                x_out = jax.nn.relu(BatchNorm(groups=na)(x_out, train=train))
+                c_in = c
+            x_out = _so3f.unpack_feats(x_out, na)    # [b, p, a, c]
+        else:
+            x_out = _so3f.unpack_feats(x.feats, na)  # [b, p, a, c]
+            for c in p['mlp']:
+                x_out = Dense1x1(c)(x_out)
+                x_out = jax.nn.relu(BatchNorm()(x_out, train=train))
+                c_in = c
 
         out_feat = x_out
         x_in = SphericalPointCloud(x.xyz, out_feat, x.anchors)
