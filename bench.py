@@ -160,6 +160,43 @@ def bench_descriptor_extraction(batch=48, input_num=1024, kanchor=60,
     return batch / dt, dt
 
 
+def bench_rotation(batch=8, input_num=1024, kanchor=60, iters=10):
+    """Relative-rotation regression forward throughput (BASELINE rotation-
+    alignment workload: reg_so3net, pair input, run_modelnet_rotation.py
+    defaults b8)."""
+    import jax
+    import jax.numpy as jnp
+    from epn_pointcloud_tpu import models
+    from epn_pointcloud_tpu.app.config import default_opt
+    from epn_pointcloud_tpu.ops import so3conv
+
+    so3conv.set_compute_dtype('bf16')
+    so3conv.set_remat(False)
+
+    opt = default_opt(**{'model.model': 'reg_so3net',
+                         'model.input_num': input_num,
+                         'model.kanchor': kanchor,
+                         'model.representation': 'quat'})
+    model = models.build_model_from(opt)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, 2, input_num, 3).astype(np.float32))
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def fwd(x):
+        conf, y = model.apply(variables, x, train=False)
+        return conf
+
+    fwd(x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(x)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt, dt
+
+
 def main():
     clouds_per_sec, step_time = bench_forward()
     print(f'[bench] step_time={step_time * 1e3:.2f} ms  '
@@ -177,6 +214,9 @@ def main():
         print(f'[bench-extra] reduced config kanchor=20: '
               f'{rput:.1f} clouds/s ({rdt * 1e3:.1f} ms @ b32)',
               file=sys.stderr)
+        gput, gdt = bench_rotation()
+        print(f'[bench-extra] rotation alignment (reg_so3net, pair b8): '
+              f'{gput:.1f} pairs/s ({gdt * 1e3:.1f} ms)', file=sys.stderr)
     print(json.dumps({
         'metric': 'modelnet40_cls_60anchor_b32_1024pt_inference_throughput',
         'value': round(clouds_per_sec, 2),
