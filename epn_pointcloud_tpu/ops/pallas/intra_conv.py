@@ -200,7 +200,71 @@ def _bwd_kernel(f_ref, do_ref, w2km_ref, df_ref, dw2_ref, acc, fall, doall,
         preferred_element_type=jnp.float32, precision=prec)  # [K*C, D]
 
 
-def _bwd_pallas(f_flat, dout, w2, trace_idx, t, interpret):
+def _bwd_kernel_prenorm(f_ref, ss_ref, do_ref, w2km_ref, df_ref, dw2_ref,
+                        dsa_ref, dsh_ref, acc, fall, doall, *, trace, na,
+                        nk, c, d, t, act, alpha):
+    """_bwd_kernel with the prenorm epilogue differentiated in-kernel:
+    z = act(f*scale+shift) is recomputed on the VMEM-resident tile (the lazy
+    XLA recompute paid ~2 extra HBM passes per layer), dz -> df via the
+    activation mask and scale, and dscale/dshift accumulate across point
+    tiles in VMEM-persistent [8, L] out blocks (zeroed at each batch's first
+    tile — the dW pattern). Zero-padded rows are harmless: their dout rows
+    are zero, so every contribution vanishes."""
+    prec = (jax.lax.Precision.HIGHEST if f_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _zero():
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _zero_ss():
+        dsa_ref[...] = jnp.zeros_like(dsa_ref)
+        dsh_ref[...] = jnp.zeros_like(dsh_ref)
+
+    f = f_ref[0]                                          # [T, na*c]
+    ss = ss_ref[0]
+    scale = ss[0:1, :]
+    shift = ss[1:2, :]
+    u = f.astype(jnp.float32) * scale + shift             # [T, L] f32
+    if act == 'leaky_relu':
+        z = jnp.where(u >= 0, u, alpha * u).astype(f.dtype)
+        mask = jnp.where(u >= 0, 1.0, alpha)
+    elif act == 'relu':
+        z = jnp.maximum(u, 0.0).astype(f.dtype)
+        mask = (u >= 0).astype(jnp.float32)
+    else:
+        z = u.astype(f.dtype)
+        mask = None
+    do = do_ref[0]                                        # [T, na*d]
+    w2km = w2km_ref[:]                                    # [K*C, D]
+    acc[:] = jnp.zeros_like(acc)
+    for a in range(na):
+        do_a = do[:, a * d:(a + 1) * d]                   # [T, D]
+        doall[a * t:(a + 1) * t, :] = do_a
+        for k in range(nk):
+            x = trace[a][k]
+            fall[a * t:(a + 1) * t, k * c:(k + 1) * c] = (
+                z[:, x * c:(x + 1) * c])
+        y_a = jax.lax.dot_general(
+            do_a, w2km, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)  # [T, K*C]
+        for k in range(nk):
+            x = trace[a][k]
+            acc[:, x * c:(x + 1) * c] += y_a[:, k * c:(k + 1) * c]
+    du = acc[:] if mask is None else acc[:] * mask        # [T, L] f32
+    df_ref[0] = (du * scale).astype(df_ref.dtype)
+    dsa_ref[0] += (du * f.astype(jnp.float32)).reshape(
+        t // 8, 8, du.shape[1]).sum(axis=0)               # [8, L]
+    dsh_ref[0] += du.reshape(t // 8, 8, du.shape[1]).sum(axis=0)
+    dw2_ref[...] += jax.lax.dot_general(
+        fall[:], doall[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # [K*C, D]
+
+
+def _bwd_pallas(f_flat, dout, w2, trace_idx, t, interpret, ss=None,
+                act=None, alpha=0.01):
     b, p_total, nac = f_flat.shape
     na, nk = trace_idx.shape
     c = nac // na
@@ -218,21 +282,47 @@ def _bwd_pallas(f_flat, dout, w2, trace_idx, t, interpret):
     # k-major weight layout for the single-GEMM dY/dW formulation
     w2km = jnp.transpose(w2.reshape(c, nk, d), (1, 0, 2)).reshape(nk * c, d)
     trace = tuple(tuple(int(v) for v in row) for row in trace_idx)
-    df, dw2km = pl.pallas_call(
-        functools.partial(_bwd_kernel, trace=trace, na=na, nk=nk, c=c, d=d,
-                          t=t),
-        grid=(b, p // t),
-        in_specs=[
+    if ss is None:
+        kern = functools.partial(_bwd_kernel, trace=trace, na=na, nk=nk,
+                                 c=c, d=d, t=t)
+        in_specs = [
             pl.BlockSpec((1, t, na * c), lambda bb, pt: (bb, pt, 0)),
             pl.BlockSpec((1, t, na * d), lambda bb, pt: (bb, pt, 0)),
             pl.BlockSpec((nk * c, d), lambda bb, pt: (0, 0)),
-        ],
-        out_specs=[
+        ]
+        operands = (f_flat, dout, w2km)
+        out_specs = [
             pl.BlockSpec((1, t, na * c), lambda bb, pt: (bb, pt, 0)),
             pl.BlockSpec((nk * c, d), lambda bb, pt: (0, 0)),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((b, p, na * c), f_flat.dtype),
-                   jax.ShapeDtypeStruct((nk * c, d), jnp.float32)],
+        ]
+        out_shape = [jax.ShapeDtypeStruct((b, p, na * c), f_flat.dtype),
+                     jax.ShapeDtypeStruct((nk * c, d), jnp.float32)]
+    else:
+        kern = functools.partial(_bwd_kernel_prenorm, trace=trace, na=na,
+                                 nk=nk, c=c, d=d, t=t, act=act, alpha=alpha)
+        in_specs = [
+            pl.BlockSpec((1, t, na * c), lambda bb, pt: (bb, pt, 0)),
+            pl.BlockSpec((1, 8, na * c), lambda bb, pt: (bb, 0, 0)),
+            pl.BlockSpec((1, t, na * d), lambda bb, pt: (bb, pt, 0)),
+            pl.BlockSpec((nk * c, d), lambda bb, pt: (0, 0)),
+        ]
+        operands = (f_flat, ss, dout, w2km)
+        out_specs = [
+            pl.BlockSpec((1, t, na * c), lambda bb, pt: (bb, pt, 0)),
+            pl.BlockSpec((nk * c, d), lambda bb, pt: (0, 0)),
+            pl.BlockSpec((1, 8, na * c), lambda bb, pt: (bb, 0, 0)),
+            pl.BlockSpec((1, 8, na * c), lambda bb, pt: (bb, 0, 0)),
+        ]
+        out_shape = [jax.ShapeDtypeStruct((b, p, na * c), f_flat.dtype),
+                     jax.ShapeDtypeStruct((nk * c, d), jnp.float32),
+                     jax.ShapeDtypeStruct((b, 8, na * c), jnp.float32),
+                     jax.ShapeDtypeStruct((b, 8, na * c), jnp.float32)]
+    res = pl.pallas_call(
+        kern,
+        grid=(b, p // t),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((t, na * c), jnp.float32),
                         pltpu.VMEM((na * t, nk * c), f_flat.dtype),
                         pltpu.VMEM((na * t, d), f_flat.dtype)],
@@ -243,9 +333,15 @@ def _bwd_pallas(f_flat, dout, w2, trace_idx, t, interpret):
             bytes_accessed=2 * f_flat.size * f_flat.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(f_flat, dout, w2km)
+    )(*operands)
+    df, dw2km = res[0], res[1]
     dw2 = jnp.transpose(dw2km.reshape(nk, c, d), (1, 0, 2)).reshape(c, nk * d)
-    return (df[:, :p_total] if p > p_total else df), dw2
+    df = df[:, :p_total] if p > p_total else df
+    if ss is None:
+        return df, dw2
+    dscale = res[2].sum(axis=1)                            # [b, L] f32
+    dshift = res[3].sum(axis=1)
+    return df, dw2, dscale, dshift
 
 
 def _intra_bwd(trace_idx_tuple, t, interpret, res, dout):
@@ -272,9 +368,10 @@ def intra_conv_prenorm(f_flat, ss, w2, trace_idx_tuple, act='leaky_relu',
     f once regardless); fusing the APPLY saves one full read+write pass over
     the packed activation per layer (~0.4 ms/layer on the flagship).
 
-    Backward recomputes z = act(f*scale+shift) with XLA, runs the existing
-    fused backward kernel on z, then maps dz -> (df, dscale, dshift)
-    elementwise — training-neutral, forward saves its pass.
+    Backward runs fully in-kernel too (_bwd_kernel_prenorm): z is
+    recomputed on the VMEM-resident tile, dz -> df via the activation mask
+    and scale, dscale/dshift accumulate across point tiles in VMEM (the
+    lazy XLA-recompute form paid ~2 extra HBM passes per layer).
     """
     ti = np.asarray(trace_idx_tuple, dtype=np.int64)
     return _fwd_pallas(f_flat, w2, ti, t, interpret, ss=ss, act=act,
@@ -290,27 +387,11 @@ def _prenorm_fwd(f_flat, ss, w2, trace_idx_tuple, act, alpha, t, interpret):
 def _prenorm_bwd(trace_idx_tuple, act, alpha, t, interpret, res, dout):
     f_flat, ss, w2 = res
     ti = np.asarray(trace_idx_tuple, dtype=np.int64)
-    scale = ss[:, 0:1, :]                                  # [b, 1, L] f32
-    shift = ss[:, 1:2, :]
-    u = (f_flat.astype(jnp.float32) * scale + shift).astype(f_flat.dtype)
-    if act == 'leaky_relu':
-        z = jnp.where(u >= 0, u, jnp.asarray(alpha, u.dtype) * u)
-        mask = jnp.where(u >= 0, 1.0, alpha)
-    elif act == 'relu':
-        z = jnp.maximum(u, jnp.asarray(0, u.dtype))
-        mask = (u >= 0).astype(jnp.float32)
-    else:
-        z = u
-        mask = None
-    dz, dw2 = _bwd_pallas(z, dout, w2, ti, t, interpret)
-    du = dz.astype(jnp.float32) if mask is None else (
-        dz.astype(jnp.float32) * mask)
-    df = (du * scale).astype(f_flat.dtype)
-    dscale = (du * f_flat.astype(jnp.float32)).sum(axis=1)  # [b, L]
-    dshift = du.sum(axis=1)
+    df, dw2, dscale, dshift = _bwd_pallas(f_flat, dout, w2, ti, t, interpret,
+                                          ss=ss, act=act, alpha=alpha)
     dss = jnp.zeros_like(ss)
     dss = dss.at[:, 0, :].set(dscale).at[:, 1, :].set(dshift)
-    return df, dss, dw2.astype(w2.dtype)
+    return df.astype(f_flat.dtype), dss, dw2.astype(w2.dtype)
 
 
 intra_conv_prenorm.defvjp(_prenorm_fwd, _prenorm_bwd)
