@@ -87,6 +87,55 @@ def rotate_point_cloud_90deg(data, normal=None, rng=None):
     return rotated, rotated_normal, Rm
 
 
+def rotate_point_cloud_with_normal(pc, surface_normal, rng=None):
+    """Random rotation about the up (y) axis, applied to points AND normals;
+    returns (rotated_pc, rotated_normals) (ref: pc/augmentation.py:119-139)."""
+    rng = rng or np.random
+    ang = rng.uniform() * 2 * np.pi
+    c, s = np.cos(ang), np.sin(ang)
+    Rm = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    return pc @ Rm, surface_normal @ Rm
+
+
+def rotate_perturbation_point_cloud(data, angle_sigma=0.06, angle_clip=0.18,
+                                    rng=None):
+    """Small random rotation: clipped-Gaussian Euler angles composed
+    Rz @ Ry @ Rx, applied as data @ R (ref: pc/augmentation.py:142-163)."""
+    rng = rng or np.random
+    angles = np.clip(angle_sigma * rng.randn(3), -angle_clip, angle_clip)
+    R = R_from_euler_np(angles)
+    return data @ R
+
+
+def rotate_perturbation_point_cloud_with_normal_som(pc, surface_normal, som,
+                                                    angle_sigma=0.06,
+                                                    angle_clip=0.18, rng=None):
+    """rotate_perturbation_point_cloud applied consistently to points,
+    normals, and SOM nodes (ref: pc/augmentation.py:166-192)."""
+    rng = rng or np.random
+    angles = np.clip(angle_sigma * rng.randn(3), -angle_clip, angle_clip)
+    R = R_from_euler_np(angles)
+    return pc @ R, surface_normal @ R, som @ R
+
+
+def batch_rotate_point_cloud(data, R=None, rng=None):
+    """One shared rotation applied to a whole [b, n, 3] batch; R may be a
+    3x3 matrix or Euler angles (random SO(3) when None). Returns the rotated
+    batch (ref: pc/augmentation.py:92-116; torch there, numpy here)."""
+    rng = rng or np.random
+    if R is None:
+        R = sciR.random(
+            random_state=rng if isinstance(rng, np.random.RandomState) else None
+        ).as_matrix()
+    R = np.asarray(R)
+    if isinstance(R, list) or R.ndim == 1:
+        R = R_from_euler_np(np.asarray(R))
+    else:
+        assert R.shape[0] >= 3 and R.shape[1] >= 3
+        R = R[:3, :3]
+    return np.einsum('ij,bnj->bni', R, data), R
+
+
 def jitter_point_cloud(data, sigma=0.01, clip=0.05, rng=None):
     """(ref: augmentation.py:193-202)"""
     rng = rng or np.random
@@ -113,6 +162,16 @@ def permute(data, rng=None):
 
 
 # ------------------------------------------------------------ host searches
+
+def knn_index_np(pc, k, batch=False):
+    """kNN indices via KD-tree, [n,3] -> [n,k] (or per-batch when batch=True).
+    The reference declares this API but raises NotImplementedError
+    (ref: pc/sample.py:40-41); we provide the working implementation."""
+    if batch:
+        return np.stack([knn_index_np(p, k) for p in pc])
+    _, idx = KDTree(pc).query(pc, k=k)
+    return idx.astype(np.int64).reshape(pc.shape[0], k)
+
 
 def ball_search_np(pc, kpt, knn, search_radius, subsample_ratio=4, rng=None,
                    verbose=False):

@@ -226,6 +226,13 @@ def get_intra_idx() -> np.ndarray:
     return _build_group()['trace_idx']
 
 
+def get_canonical_relative():
+    """API-parity shim: the reference computes canonical relative rotations
+    only in commented-out code and ships None
+    (ref: so3conv/functional.py:298-299; rotation.py:281 canonical_R = None)."""
+    return None
+
+
 def select_anchors(anchors: np.ndarray, k: int) -> np.ndarray:
     """Anchor subsets for kanchor in {1, 20, 40, 60}
     (ref: so3conv/functional.py:281-289)."""

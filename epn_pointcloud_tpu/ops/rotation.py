@@ -124,6 +124,20 @@ def rotation_from_ortho6d(o):
     return jnp.stack([x, y, z], axis=2)
 
 
+def rotation_from_euler_sin_cos(euler_sin_cos):
+    """[b,6] (s1,c1,s2,c2,s3,c3) -> [b,3,3] rotation matrices
+    (ref: rotation.py:422-440)."""
+    s1, c1 = euler_sin_cos[:, 0], euler_sin_cos[:, 1]
+    s2, c2 = euler_sin_cos[:, 2], euler_sin_cos[:, 3]
+    s3, c3 = euler_sin_cos[:, 4], euler_sin_cos[:, 5]
+    m = jnp.stack([
+        c2 * c3, -s2, c2 * s3,
+        c1 * s2 * c3 + s1 * s3, c1 * c2, c1 * s2 * s3 - s1 * c3,
+        s1 * s2 * c3 - c1 * s3, s1 * c2, s1 * s2 * s3 + c1 * c3,
+    ], axis=1)
+    return m.reshape(-1, 3, 3)
+
+
 def so3_mean(Rs, weights=None):
     """Chordal L2 mean of rotations via SVD (ref: rotation.py:481-518).
 

@@ -25,6 +25,12 @@ def to_hom_np(pc, rotate_only: bool = False):
     return np.concatenate([pc, ones], axis=-1)
 
 
+def from_hom_np(pc):
+    """Drop the homogeneous coordinate, [..., 4] -> [..., 3]
+    (ref: point3d/homography.py from_hom_np)."""
+    return pc[..., :3]
+
+
 def R_to_hom_np(R: np.ndarray) -> np.ndarray:
     """[3,3] -> [4,4]"""
     T = np.eye(4, dtype=R.dtype)

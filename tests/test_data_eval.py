@@ -159,3 +159,55 @@ def test_gt_log_roundtrip(dm_root):
     R = transforms[:, :3, :3]
     np.testing.assert_allclose(np.einsum('bij,bkj->bik', R, R),
                                np.tile(np.eye(3), (2, 1, 1)), atol=1e-5)
+
+
+def test_augmentation_variants():
+    rng = np.random.RandomState(3)
+    pc = rng.randn(64, 3).astype(np.float64)
+    nrm = rng.randn(64, 3)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+
+    # with_normal: one shared y-axis rotation; dot(pc, normal) preserved
+    rp, rn = pctk.rotate_point_cloud_with_normal(pc, nrm, rng=rng)
+    np.testing.assert_allclose((rp * rn).sum(1), (pc * nrm).sum(1), atol=1e-9)
+    np.testing.assert_allclose(rp[:, 1], pc[:, 1], atol=1e-9)  # up axis fixed
+
+    # perturbation: small rotation, angle bounded by sqrt(3)*clip
+    out = pctk.rotate_perturbation_point_cloud(pc, rng=rng)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1),
+                               np.linalg.norm(pc, axis=1), atol=1e-9)
+    R, _, _, _ = np.linalg.lstsq(pc, out, rcond=None)
+    ang = np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1))
+    assert ang < np.sqrt(3.0) * 0.18 + 1e-6
+
+    # som variant rotates all three consistently
+    som = rng.randn(8, 3)
+    p2, n2, s2 = pctk.rotate_perturbation_point_cloud_with_normal_som(
+        pc, nrm, som, rng=rng)
+    np.testing.assert_allclose((p2 * n2).sum(1), (pc * nrm).sum(1), atol=1e-9)
+    np.testing.assert_allclose(np.linalg.norm(s2, axis=1),
+                               np.linalg.norm(som, axis=1), atol=1e-9)
+
+    # batch rotate: one shared R over the batch
+    batch = rng.randn(4, 32, 3)
+    rot, R = pctk.batch_rotate_point_cloud(batch, rng=rng)
+    np.testing.assert_allclose(rot, np.einsum('ij,bnj->bni', R, batch),
+                               atol=1e-12)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
+    rot2, R2 = pctk.batch_rotate_point_cloud(batch, R=[0.1, 0.2, 0.3])
+    assert R2.shape == (3, 3)
+    np.testing.assert_allclose(R2 @ R2.T, np.eye(3), atol=1e-9)
+
+
+def test_knn_index_np():
+    rng = np.random.RandomState(5)
+    pts = rng.randn(50, 3)
+    idx = pctk.knn_index_np(pts, 4)
+    assert idx.shape == (50, 4)
+    d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    brute = np.argsort(d2, axis=1, kind='stable')[:, :4]
+    np.testing.assert_allclose(
+        np.sort(np.take_along_axis(d2, idx, 1), axis=1),
+        np.sort(np.take_along_axis(d2, brute, 1), axis=1), atol=1e-12)
+    bidx = pctk.knn_index_np(np.stack([pts, pts]), 4, batch=True)
+    assert bidx.shape == (2, 50, 4)

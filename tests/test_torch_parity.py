@@ -184,3 +184,26 @@ def test_triplet_loss_matches_torch_formulation():
     cn, _ = torch.min(torch.reshape(d[is_neg], (N, -1)), 1)
     lt = F.softplus(fp - cn, beta=1.0).mean()
     np.testing.assert_allclose(float(loss), float(lt), atol=1e-5)
+
+
+def test_euler_sin_cos_to_matrix_is_rotation():
+    """rotation_from_euler_sin_cos (ref: rotation.py:422-440): valid rotations
+    for normalized (sin, cos) inputs; identity at zero angles; matches the
+    reference's row formula."""
+    rng = np.random.RandomState(11)
+    ang = rng.uniform(-np.pi, np.pi, (16, 3))
+    sc = np.stack([np.sin(ang[:, 0]), np.cos(ang[:, 0]),
+                   np.sin(ang[:, 1]), np.cos(ang[:, 1]),
+                   np.sin(ang[:, 2]), np.cos(ang[:, 2])], axis=1)
+    R = np.asarray(rot.rotation_from_euler_sin_cos(jnp.asarray(sc)))
+    np.testing.assert_allclose(np.einsum('bij,bkj->bik', R, R),
+                               np.tile(np.eye(3), (16, 1, 1)), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), np.ones(16), atol=1e-5)
+    ident = rot.rotation_from_euler_sin_cos(
+        jnp.asarray([[0.0, 1.0, 0.0, 1.0, 0.0, 1.0]]))
+    np.testing.assert_allclose(np.asarray(ident)[0], np.eye(3), atol=1e-6)
+    # reference row layout: row1 = [c2*c3, -s2, c2*s3]
+    s1, c1, s2, c2, s3, c3 = sc.T
+    np.testing.assert_allclose(R[:, 0, 0], c2 * c3, atol=1e-5)
+    np.testing.assert_allclose(R[:, 0, 1], -s2, atol=1e-5)
+    np.testing.assert_allclose(R[:, 2, 1], s1 * c2, atol=1e-5)
