@@ -118,6 +118,7 @@ class Dense1x1(fnn.Module):
             use_pl = (jax.default_backend() == 'tpu'
                       and plgc.supported(fan_in, self.features, na))
             shard_mesh = None
+            na_l, tp_axes = na, False
             if use_pl and jax.device_count() > 1:
                 from ..parallel import mesh as pmesh
                 gm = pmesh.get_global_mesh()
@@ -126,12 +127,28 @@ class Dense1x1(fnn.Module):
                         and x.shape[0] % pmesh.axis_size(gm, 'data') == 0):
                     shard_mesh = gm
                 else:
-                    use_pl = False
+                    # anchor-axis TP: the per-anchor [c, d] GEMM is pointwise
+                    # in anchors (one shared weight), so each device runs the
+                    # kernel on its local anchor shard — no collectives
+                    tpm = pmesh.tp_mesh_for(x.shape[0], na)
+                    if tpm is not None and plgc.supported(
+                            fan_in, self.features,
+                            na // pmesh.axis_size(tpm, 'anchor')):
+                        shard_mesh, tp_axes = tpm, True
+                        na_l = na // pmesh.axis_size(tpm, 'anchor')
+                    else:
+                        use_pl = False
             if use_pl:
                 fn = lambda xx, kk, bb: plgc.grouped_conv1x1(
-                    xx, kk.astype(xx.dtype), bb, na)
-                if shard_mesh is not None:
-                    from ..parallel import mesh as pmesh
+                    xx, kk.astype(xx.dtype), bb, na_l)
+                from ..parallel import mesh as pmesh
+                if tp_axes:
+                    from jax.sharding import PartitionSpec as P
+                    fn = pmesh.named_shard_map(
+                        fn, shard_mesh,
+                        in_specs=[P('data', None, 'anchor'), P(), P()],
+                        out_specs=P('data', None, 'anchor'))
+                elif shard_mesh is not None:
                     fn = pmesh.data_shard_map(fn, shard_mesh, 1, 2)
                 return fn(x, k, bias)
             b2, p2 = x.shape[:2]
@@ -208,7 +225,25 @@ def _packed_sums(x3):
     Elsewhere: plain jnp reductions (identical math)."""
     from ..ops.pallas import moments as plm
     if jax.default_backend() == 'tpu' and plm.supported(*x3.shape[1:]):
-        return plm.moments_sums(x3)
+        from ..parallel import mesh as pmesh
+        gm = pmesh.get_global_mesh() if jax.device_count() > 1 else None
+        if gm is None:
+            return plm.moments_sums(x3)
+        # multi-device mesh installed: a raw pallas_call is opaque to GSPMD
+        # (it would force an all-gather to run replicated). The reductions
+        # are lane-local in the packed layout, so shard_map cleanly over
+        # 'data' and — when the anchor axis shards the fiber — 'anchor' too.
+        nd, ntp = pmesh.axis_size(gm, 'data'), pmesh.axis_size(gm, 'anchor')
+        Lloc = x3.shape[2] // max(ntp, 1)
+        if (x3.shape[0] % max(nd, 1) == 0
+                and x3.shape[2] % max(ntp, 1) == 0
+                and plm.supported(x3.shape[1], Lloc)):
+            from jax.sharding import PartitionSpec as P
+            spec = P('data', None, 'anchor' if ntp > 1 else None)
+            fn = pmesh.named_shard_map(
+                plm.moments_sums, gm, in_specs=[spec],
+                out_specs=(P('data', 'anchor' if ntp > 1 else None),) * 2)
+            return fn(x3)
     xf = x3.astype(jnp.float32)
     return xf.sum(axis=1), jnp.square(xf).sum(axis=1)
 

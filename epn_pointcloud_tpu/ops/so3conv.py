@@ -247,30 +247,55 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
     else:
         use_pl = use_pallas
     use_pl = use_pl and plic.supported(n_neighbor, c_in)
+    fusable_global = False
     if use_pl:
         p1 = xyz.shape[1]
         p2_pre = -(-p1 // stride)
         nt_pre = plic.plan(n_neighbor, kernels.shape[0])[0]
         onehot_pre = sampling._onehot_profitable(
             p1 + 1, p2_pre * nt_pre, na * c_in + 8)
-        use_pl = plic.layer_fusable(p2_pre, n_neighbor, kernels.shape[0],
-                                    c_in, na, chunk, onehot_pre)
+        fusable_global = plic.layer_fusable(
+            p2_pre, n_neighbor, kernels.shape[0], c_in, na, chunk,
+            onehot_pre)
 
     # Multi-device: Pallas calls are opaque to GSPMD, so under a bare pjit
     # they would force replication. With an installed global ('data',
-    # 'anchor') mesh we shard_map the Pallas layer over 'data' explicitly;
-    # otherwise (or for anchor-axis model parallelism) fall back to the
+    # 'anchor') mesh we shard_map the Pallas layer explicitly: batch over
+    # 'data', and — because the inter conv is pointwise in anchors (each
+    # output anchor reads only its own fiber; the rk8 weight operand has a
+    # leading anchor axis) — the rotation-group dimension over 'anchor'
+    # with NO communication. Anything the gates reject falls back to the
     # XLA formulation, which GSPMD partitions fine.
     from ..parallel import mesh as pmesh
     shard_mesh = None
+    na_l, chunk_l = na, chunk          # per-shard anchor extents (TP < na)
+    tp_axes = False
     if use_pl and jax.device_count() > 1:
         gm = pmesh.get_global_mesh()
         if (gm is not None and pmesh.axis_size(gm, 'anchor') == 1
                 and pmesh.axis_size(gm, 'data') > 1
                 and feats.shape[0] % pmesh.axis_size(gm, 'data') == 0):
             shard_mesh = gm
+            use_pl = fusable_global
         else:
-            use_pl = False
+            tpm = pmesh.tp_mesh_for(feats.shape[0], na)
+            if tpm is not None:
+                na_l = na // pmesh.axis_size(tpm, 'anchor')
+                chunk_l = pmesh.largest_divisor_at_most(na_l, chunk)
+                p1 = xyz.shape[1]
+                p2_pre = -(-p1 // stride)
+                nt_pre = plic.plan(n_neighbor, kernels.shape[0])[0]
+                onehot_l = sampling._onehot_profitable(
+                    p1 + 1, p2_pre * nt_pre, na_l * c_in + 8)
+                if plic.layer_fusable(p2_pre, n_neighbor, kernels.shape[0],
+                                      c_in, na_l, chunk_l, onehot_l):
+                    shard_mesh, tp_axes = tpm, True
+                else:
+                    use_pl = False
+            else:
+                use_pl = False
+    else:
+        use_pl = use_pl and fusable_global
 
     # Occupancy-ones block-0 fast path: the neighbor contraction degenerates
     # to a pure anchor-weight sum (ref: base_so3conv.py:16-23 +
@@ -369,7 +394,7 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
         rk8k = plic.make_rk8_kmajor(rk_all, k2, tp, kt)
 
         support_pad = sampling.add_shadow_point(xyz)            # [b, q, 3]
-        use_onehot = sampling._onehot_profitable(q, p2 * nt, na * c_in + 8)
+        use_onehot = sampling._onehot_profitable(q, p2 * nt, na_l * c_in + 8)
         if use_onehot:
             # One-hot MXU megagather. The packed-coordinate trick below is
             # NOT used here: raw f32 bit-halves are not valid bf16 values
@@ -404,7 +429,7 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
             # cost far outweighs the misaligned-slice penalty.)
             cs = c_in
             if use_onehot and plic.gather_fusable(
-                    qq, chunk, cs, jnp.dtype(cdt).itemsize):
+                    qq, chunk_l, cs, jnp.dtype(cdt).itemsize):
                 # megagather fused into the kernel: the gathered [rows,
                 # na*c] tensor never exists in HBM; the kernel streams the
                 # support table per anchor chunk and one-hot-selects rows
@@ -424,26 +449,27 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                         tabf = jnp.pad(tabf,
                                        ((0, 0), (0, qp - p1s), (0, 0),
                                         (0, cs - c_in)))
-                    tab = tabf.reshape(bb, qp, na * cs)
+                    tab = tabf.reshape(bb, qp, na_l * cs)
                 raw = jax.lax.stop_gradient(
                     sampling.gather_rows_onehot(xyz_cols, flat_idx)[..., :3])
                 grouped = (raw.reshape(bb, pp, nt, 3)
                            - new_xyz[:, :, None, :])
                 gx8 = plic.make_gx8(grouped, nt)
                 d_out = W_pad.shape[-1]
-                if plic.gather_w_fusable(pp, tab.shape[1], chunk, cs, d_out,
-                                         kt, nt, tp, jnp.dtype(cdt).itemsize):
+                if plic.gather_w_fusable(pp, tab.shape[1], chunk_l, cs,
+                                         d_out, kt, nt, tp,
+                                         jnp.dtype(cdt).itemsize):
                     # learned GEMM also fused: the [b, na, p, k~, c] F
                     # tensor (1.5-3 GB/layer on the flagship; its XLA
                     # consumer ran HBM-bound at 23-46 TF/s) never exists
                     w2 = W_pad.astype(cdt).reshape(kt * cs, d_out)
                     out = plic.fused_gather_conv_w(
                         gx8, flat_idx[:, None, :], tab, rk8k, rk8, w2,
-                        float(sigma), tp, kt, nt, chunk, interpret)
+                        float(sigma), tp, kt, nt, chunk_l, interpret)
                     return out                       # [b, p, na*d] packed
                 F = plic.fused_gather_neighbor_conv(
                     gx8, flat_idx[:, None, :], tab, rk8, float(sigma),
-                    tp, kt, nt, chunk, interpret)
+                    tp, kt, nt, chunk_l, interpret)
                 Wp = (W_pad if cs == c_in else
                       jnp.pad(W_pad, ((0, 0), (0, cs - c_in), (0, 0))))
                 out = jnp.einsum('bapkc,kcd->bpad', F.astype(cdt),
@@ -454,7 +480,8 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                 Gfeat = jnp.pad(feats.astype(cdt), ((0, 0), (0, 1), (0, 0)))
             else:
                 feats_pad = sampling.add_shadow_feature(feats)
-                Gfeat = feats_pad.astype(cdt).reshape(bb, qq, na * c_in)
+                Gfeat = feats_pad.astype(cdt).reshape(bb, qq,
+                                                      na_l * c_in)
             if use_onehot:
                 Ga = sampling.gather_rows_onehot(Gfeat, flat_idx)
                 raw = jax.lax.stop_gradient(
@@ -466,7 +493,7 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                     Gflat, flat_idx[:, :, None], axis=1,
                     mode='promise_in_bounds')
                 raw = jax.lax.stop_gradient(
-                    Ga[:, :, na * c_in:na * c_in + n_xyz_lanes])
+                    Ga[:, :, na_l * c_in:na_l * c_in + n_xyz_lanes])
                 if cdt != jnp.float32:
                     raw = (raw[..., :3].astype(jnp.float32)
                            + raw[..., 3:6].astype(jnp.float32))
@@ -475,7 +502,7 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                        - new_xyz[:, :, None, :])
             gx8 = plic.make_gx8(grouped, nt)
             F = plic.fused_neighbor_conv(gx8, Ga, rk8, float(sigma),
-                                         tp, kt, nt, chunk, extra_lanes,
+                                         tp, kt, nt, chunk_l, extra_lanes,
                                          interpret)
             # [b, na, p, k~, c] x [k~, c, d] — pad rows of F are exactly 0
             out = jnp.einsum('bapkc,kcd->bpad', F.astype(cdt),
@@ -485,7 +512,21 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
 
         if remat and _USE_REMAT:
             pl_layer = jax.checkpoint(pl_layer)
-        if shard_mesh is not None:
+        if shard_mesh is not None and tp_axes:
+            # dp x tp: batch over 'data'; the anchor fiber over 'anchor'.
+            # feats pack anchors contiguously ([b, p, na*c] anchor-major, or
+            # explicit axis 2), the rk8/rk8k weight operands carry a leading
+            # anchor axis, and every other operand is anchor-independent —
+            # the kernel runs on its local anchor shard, zero collectives.
+            from jax.sharding import PartitionSpec as P
+            feat_spec = (P('data', None, 'anchor') if packed_in
+                         else P('data', None, 'anchor', None))
+            pl_layer = pmesh.named_shard_map(
+                pl_layer, shard_mesh,
+                in_specs=[feat_spec, P('data'), P('data'), P('data'),
+                          P('anchor'), P('anchor'), P()],
+                out_specs=P('data', None, 'anchor'))
+        elif shard_mesh is not None:
             pl_layer = pmesh.data_shard_map(pl_layer, shard_mesh,
                                             n_data_args=4, n_repl_args=3)
         out = pl_layer(feats, xyz_cols, idx_pad, new_xyz, rk8, rk8k,

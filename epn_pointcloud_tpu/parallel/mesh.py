@@ -101,16 +101,62 @@ def data_mesh_for(batch: int) -> Mesh | None:
     return None
 
 
+def tp_mesh_for(batch: int, na: int) -> Mesh | None:
+    """The installed global mesh when a Pallas path can shard_map over BOTH
+    axes with the anchor axis sharding the rotation-group dimension: anchor
+    axis > 1 and divides na, and the batch divides the data axis. None
+    otherwise. The anchor dimension is the natural tensor-parallel axis of
+    this architecture — the inter conv (and the 1x1 skip convs / norms) are
+    pointwise in anchors, so their Pallas kernels run on a local anchor
+    shard with NO communication; the collectives (intra-conv anchor mixing,
+    head pooling) ride the XLA formulations, which GSPMD partitions."""
+    if jax.device_count() <= 1:
+        return None
+    gm = _GLOBAL_MESH
+    if gm is None:
+        return None
+    ntp = axis_size(gm, 'anchor')
+    nd = axis_size(gm, 'data')
+    if ntp <= 1 or na % ntp != 0 or batch % nd != 0:
+        return None
+    return gm
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    """shard_map across jax versions (jax.shard_map/check_vma vs the old
+    jax.experimental.shard_map/check_rep), replication checking off (the
+    wrapped fns close over replicated values)."""
+    try:
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
+def named_shard_map(fn, mesh: Mesh, in_specs, out_specs):
+    """shard_map with explicit PartitionSpecs (the general dp x tp form of
+    data_shard_map)."""
+    return _shard_map(fn, mesh, tuple(in_specs), out_specs)
+
+
+def largest_divisor_at_most(n: int, cap: int) -> int:
+    """Largest divisor of n that is <= cap (>= 1)."""
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
 def data_shard_map(fn, mesh: Mesh, n_data_args: int, n_repl_args: int):
     """shard_map `fn` over the 'data' axis: the first n_data_args are
     batch-sharded, the remaining n_repl_args replicated; one batch-sharded
     output. Pallas calls are opaque to GSPMD (a bare pjit would have to
     replicate them); shard_map hands each device its batch shard
     explicitly."""
-    from jax.experimental.shard_map import shard_map
     in_specs = tuple([P('data')] * n_data_args + [P()] * n_repl_args)
-    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=P('data'),
-                     check_rep=False)
+    return _shard_map(fn, mesh, in_specs, P('data'))
 
 
 def constrain_feats(feats):

@@ -62,3 +62,65 @@ def test_pick_g():
     assert pick_g(32, 64, 60) == 4
     assert pick_g(128, 64, 60) == 2
     assert pick_g(1, 64, 60) is None
+
+
+def test_grouped_conv_anchor_tp_shard_map():
+    """The grouped 1x1 conv under a dp x tp shard_map (feats fiber sharded
+    over 'anchor', one shared [c, d] weight replicated) equals the
+    single-device kernel, forward and gradients."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from epn_pointcloud_tpu.parallel import mesh as pmesh
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8-device backend')
+    m = pmesh.make_mesh(n_data=2, n_anchor=4)
+    na, c, d = 8, 64, 64                 # na_local = 2, pick_g(64,64,2) = 2
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(4, 16, na * c).astype(np.float32))
+    w = jnp.asarray(rng.randn(c, d).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(d).astype(np.float32))
+
+    na_l = na // pmesh.axis_size(m, 'anchor')
+    fn = pmesh.named_shard_map(
+        lambda xx, ww, bb: grouped_conv1x1(xx, ww, bb, na_l, True),
+        m, in_specs=[P('data', None, 'anchor'), P(), P()],
+        out_specs=P('data', None, 'anchor'))
+
+    ref = lambda xx, ww, bb: grouped_conv1x1(xx, ww, bb, na, True)
+    o1 = jax.jit(fn)(x, w, bias)
+    o2 = jax.jit(ref)(x, w, bias)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(f):
+        return lambda xx, ww, bb: (f(xx, ww, bb) ** 2).sum()
+
+    g1 = jax.jit(jax.grad(loss(fn), argnums=(0, 1, 2)))(x, w, bias)
+    g2 = jax.jit(jax.grad(loss(ref), argnums=(0, 1, 2)))(x, w, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_moments_anchor_tp_shard_map():
+    """The Pallas moments kernel under the dp x tp shard_map (per-lane sums
+    are anchor-local in the packed layout) equals plain jnp reductions."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from epn_pointcloud_tpu.ops.pallas import moments as plm
+    from epn_pointcloud_tpu.parallel import mesh as pmesh
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8-device backend')
+    m = pmesh.make_mesh(n_data=2, n_anchor=4)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(4, 32, 4 * 128).astype(np.float32))
+    fn = pmesh.named_shard_map(
+        lambda xx: plm.moments_sums(xx, True), m,
+        in_specs=[P('data', None, 'anchor')],
+        out_specs=(P('data', 'anchor'),) * 2)
+    s, sq = jax.jit(fn)(x)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(x.sum(1)),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sq),
+                               np.asarray((x ** 2).sum(1)),
+                               rtol=1e-5, atol=1e-4)

@@ -301,3 +301,70 @@ def test_gather_conv_w_kernel_vs_oracle(B, P, N, AC, K, C, D, Q):
         # (the tiny fwd fp difference rides through cos into every element)
         rel = np.linalg.norm(a - b) / np.linalg.norm(b)
         assert rel < 1e-3, rel
+
+
+def test_fused_layer_shard_map_anchor_tp():
+    """With a ('data','anchor') mesh whose anchor axis shards the rotation
+    group, the Pallas fused layer runs under a dp x tp shard_map (the inter
+    conv is pointwise in anchors: feats fiber + rk8 operands anchor-sharded,
+    no collectives) and matches the XLA path, forward and gradients."""
+    from epn_pointcloud_tpu.ops import sampling
+    from epn_pointcloud_tpu.parallel import mesh as pmesh
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8-device backend')
+    m = pmesh.make_mesh(n_data=2, n_anchor=4)
+    pmesh.set_global_mesh(m)
+    calls = {'n': 0}
+    orig = {name: getattr(ic, name) for name in
+            ('fused_gather_conv_w', 'fused_gather_neighbor_conv',
+             'fused_neighbor_conv')}
+
+    def spy(fn):
+        def wrapped(*a, **kw):
+            calls['n'] += 1
+            return fn(*a, **kw)
+        return wrapped
+
+    for name, fn in orig.items():
+        setattr(ic, name, spy(fn))
+    sampling._FORCE_ONEHOT = True
+    try:
+        rng = np.random.RandomState(2)
+        b, p, a, c, cout, n, K = 8, 64, 20, 64, 48, 12, 24
+        xyz = jnp.asarray(rng.randn(b, p, 3).astype(np.float32) * 0.3)
+        feats = jnp.asarray(rng.randn(b, p, a, c).astype(np.float32))
+        anchors = jnp.asarray(ico.get_anchors(a).astype(np.float32))
+        kernels = jnp.asarray(rng.randn(K, 3).astype(np.float32) * 0.2)
+        W = jnp.asarray(rng.randn(K, c, cout).astype(np.float32) * 0.05)
+
+        def run(use_pl, feats, W):
+            _, _, out, _ = so3conv.inter_so3conv_fused(
+                xyz, feats, 2, n, anchors, kernels, 0.4, 0.08, W,
+                lazy_sample=True, anchor_chunk=10, remat=True,
+                use_pallas=use_pl)
+            return out
+
+        o1 = jax.jit(lambda f, w: run(False, f, w))(feats, W)
+        o2 = jax.jit(lambda f, w: run(True, f, w))(feats, W)
+        assert calls['n'] >= 1, 'TP gates rejected the Pallas path'
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-4, atol=1e-4)
+
+        def loss(use_pl):
+            def f(feats, W):
+                out = run(use_pl, feats, W)
+                return (out * jnp.cos(jnp.arange(out.size,
+                        dtype=jnp.float32)).reshape(out.shape)).sum()
+            return f
+
+        g1 = jax.jit(jax.grad(loss(False), argnums=(0, 1)))(feats, W)
+        g2 = jax.jit(jax.grad(loss(True), argnums=(0, 1)))(feats, W)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                                   rtol=1e-3, atol=2e-3)
+    finally:
+        pmesh.set_global_mesh(None)
+        sampling._FORCE_ONEHOT = False
+        for name, fn in orig.items():
+            setattr(ic, name, fn)
