@@ -42,13 +42,22 @@ class Logger:
 
 
 class Summary:
-    """EMA scalar channels, momentum 0.9 (ref: summary.py:3-28)."""
+    """EMA scalar channels, momentum 0.9 (ref: summary.py:3-28).
+
+    update_async() accepts on-device scalars (jax arrays) and defers the
+    host read: JAX dispatch is asynchronous, so a float() per step would
+    block the host on the device result and serialize batch preparation
+    against device compute (one host core). Pending values are converted
+    in submission order at the next read (get/get_item/update) — by log
+    time they are long since ready, so the flush costs nothing and the EMA
+    is bit-identical to eager updates."""
 
     def __init__(self, momentum: float = 0.9):
         self.items = []
         self.running_stats = {}
         self.counters = {}
         self.momentum = momentum
+        self._pending = []
 
     def register(self, keys):
         for k in keys:
@@ -56,7 +65,16 @@ class Summary:
             self.running_stats[k] = 0.0
             self.counters[k] = 0
 
-    def update(self, stats):
+    def update_async(self, stats):
+        """Queue a per-step stats dict of host or device scalars."""
+        self._pending.append(stats)
+
+    def _flush(self):
+        pending, self._pending = self._pending, []
+        for stats in pending:
+            self._apply(stats)
+
+    def _apply(self, stats):
         for k, v in stats.items():
             v = float(v)
             if self.counters[k] == 0:
@@ -66,10 +84,16 @@ class Summary:
                                          + (1 - self.momentum) * v)
             self.counters[k] += 1
 
+    def update(self, stats):
+        self._flush()
+        self._apply(stats)
+
     def get_item(self, k):
+        self._flush()
         return self.running_stats[k]
 
     def get(self):
+        self._flush()
         return '\t'.join(f'{k}: {self.get_item(k):.4f}' for k in self.items)
 
 

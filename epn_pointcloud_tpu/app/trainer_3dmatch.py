@@ -144,25 +144,25 @@ class Trainer3DMatch(Trainer):
         self.state, aux = self._train_step(self.state, batch['src'],
                                            batch['tgt'], batch['T'],
                                            self.next_rng())
+        # device scalars, read lazily at log time (no per-step host sync)
         if self.equi_alpha > 0:
-            self.summary.update({
-                'Loss': float(aux['inv_loss']) + self.equi_alpha
-                * float(aux['equi_loss']),
-                'InvLoss': float(aux['inv_loss']),
-                'Pos': float(aux['inv']['fpos']),
-                'Neg': float(aux['inv']['cneg']),
-                'Acc': 100 * float(aux['inv']['accuracy']),
-                'EquiLoss': float(aux['equi_loss']),
-                'EquiPos': float(aux['equi']['fpos']),
-                'EquiNeg': float(aux['equi']['cneg']),
-                'EquiAcc': 100 * float(aux['equi']['accuracy']),
+            self.summary.update_async({
+                'Loss': aux['inv_loss'] + self.equi_alpha * aux['equi_loss'],
+                'InvLoss': aux['inv_loss'],
+                'Pos': aux['inv']['fpos'],
+                'Neg': aux['inv']['cneg'],
+                'Acc': 100 * aux['inv']['accuracy'],
+                'EquiLoss': aux['equi_loss'],
+                'EquiPos': aux['equi']['fpos'],
+                'EquiNeg': aux['equi']['cneg'],
+                'EquiAcc': 100 * aux['equi']['accuracy'],
             })
         else:
-            self.summary.update({
-                'Loss': float(aux['fpos'] - aux['cneg']),
-                'Pos': float(aux['fpos']),
-                'Neg': float(aux['cneg']),
-                'Acc': 100 * float(aux['accuracy']),
+            self.summary.update_async({
+                'Loss': aux['fpos'] - aux['cneg'],
+                'Pos': aux['fpos'],
+                'Neg': aux['cneg'],
+                'Acc': 100 * aux['accuracy'],
             })
         self.iter_counter += 1
 

@@ -144,16 +144,19 @@ class TrainerModelNet(Trainer):
             self.state, batch['pc'], batch['label'], batch['R_label'],
             self.iter_counter, self.next_rng())
 
+        # device scalars, read lazily at log time (a float() here would
+        # block the host on the step result and serialize batch prep
+        # against device compute)
         if self.attention_model:
-            self.summary.update({
-                'Loss': float(aux['cls_loss']),
-                'Acc': 100 * float(aux['acc']),
-                'R_Loss': float(aux['r_loss']),
-                'R_Acc': 100 * float(aux['racc']),
+            self.summary.update_async({
+                'Loss': aux['cls_loss'],
+                'Acc': 100 * aux['acc'],
+                'R_Loss': aux['r_loss'],
+                'R_Acc': 100 * aux['racc'],
             })
         else:
-            self.summary.update({'Loss': float(aux['cls_loss']),
-                                 'Acc': 100 * float(aux['acc'])})
+            self.summary.update_async({'Loss': aux['cls_loss'],
+                                       'Acc': 100 * aux['acc']})
 
     def test(self):
         self.eval()

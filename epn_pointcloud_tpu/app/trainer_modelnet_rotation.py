@@ -132,12 +132,12 @@ class TrainerModelNetRotation(Trainer):
         self.state, aux = self._train_step(
             self.state, batch['pc'], batch['R_label'], batch['T'], batch['R'],
             self.next_rng())
-        loss = float(aux['cls_loss']) + float(aux['l2_loss'])
-        self.summary.update({
-            'Loss': loss,
-            'Reg_Loss': float(aux['l2_loss']),
-            'Mean_Err': float(np.mean(np.asarray(aux['angular_error']))),
-            'R_Acc': 100 * float(aux['r_acc']),
+        # device scalars, read lazily at log time (no per-step host sync)
+        self.summary.update_async({
+            'Loss': aux['cls_loss'] + aux['l2_loss'],
+            'Reg_Loss': aux['l2_loss'],
+            'Mean_Err': jnp.mean(aux['angular_error']),
+            'R_Acc': 100 * aux['r_acc'],
         })
 
     def test(self):

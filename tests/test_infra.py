@@ -154,3 +154,27 @@ def test_timer():
     t.set_point('x')
     assert t.get_point('x') >= 0
     assert t.reset_point('x') >= 0
+
+
+def test_summary_update_async_matches_eager():
+    """Deferred (device-scalar) updates flush in submission order and give
+    the same EMA as eager updates (up to the f32 cast of array scalars),
+    including interleaved eager 'Time' channels (the train_iter pattern)."""
+    from epn_pointcloud_tpu.app.logger import Summary
+    import numpy as np
+    a, b = Summary(), Summary()
+    for s in (a, b):
+        s.register(['Loss', 'Time'])
+    rng = np.random.RandomState(0)
+    for i in range(20):
+        v, t = float(rng.rand()), float(rng.rand())
+        a.update({'Loss': v})
+        a.update({'Time': t})
+        b.update_async({'Loss': np.float32(v)})   # array scalar, like jax
+        b.update({'Time': t})
+        if i % 7 == 0:
+            b.get()                                   # interleaved flushes
+    # equal up to the f32 cast of the array scalars
+    assert abs(a.get_item('Loss') - b.get_item('Loss')) < 1e-6
+    assert a.get_item('Time') == b.get_item('Time')
+    assert b.counters == a.counters
