@@ -68,9 +68,33 @@ class Summary:
     def update_async(self, stats):
         """Queue a per-step stats dict of host or device scalars."""
         self._pending.append(stats)
+        if len(self._pending) > 512:
+            # bound the held device buffers; entries this old are long
+            # since computed, so the flush does not stall the pipeline
+            self._flush()
 
     def _flush(self):
         pending, self._pending = self._pending, []
+        if not pending:
+            return
+        # ONE batched device->host transfer for all pending device scalars:
+        # on a remote-tunnel backend each readback costs a full round trip
+        # (~25 ms) even when the value is ready, so per-scalar float() here
+        # would cost flush_len * n_channels round trips
+        device_vals = []
+        slots = []                       # (stats_idx, key) per device scalar
+        for i, stats in enumerate(pending):
+            for k, v in stats.items():
+                if hasattr(v, 'device') or hasattr(v, 'sharding'):
+                    slots.append((i, k))
+                    device_vals.append(v)
+        if device_vals:
+            import jax.numpy as jnp
+            import numpy as np
+            host = np.asarray(jnp.stack(
+                [jnp.asarray(v, jnp.float32) for v in device_vals]))
+            for (i, k), hv in zip(slots, host):
+                pending[i][k] = float(hv)
         for stats in pending:
             self._apply(stats)
 
@@ -85,7 +109,9 @@ class Summary:
             self.counters[k] += 1
 
     def update(self, stats):
-        self._flush()
+        # no flush: each channel's EMA depends only on its own value order,
+        # so eager channels (e.g. the per-iter 'Time') can interleave with
+        # pending async ones without forcing a device sync here
         self._apply(stats)
 
     def get_item(self, k):
