@@ -183,8 +183,9 @@ class Trainer3DMatch(Trainer):
                                      f'{self.opt.model.output_num}_dim')
             self._setup_eval_datasets(scene)
             self._generate(target_folder)
-            results = eval3dmatch.evaluate_scene(self.opt.dataset_path,
-                                                 target_folder, scene)
+            results = eval3dmatch.evaluate_scene(
+                self.opt.dataset_path, target_folder, scene,
+                num_thread=min(8, os.cpu_count() or 1))
             all_results[scene] = results
         self._write_csv(all_results)
         self.logger.log('Eval', 'Done!')

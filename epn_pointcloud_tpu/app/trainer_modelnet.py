@@ -165,7 +165,10 @@ class TrainerModelNet(Trainer):
         """Average accuracy over the rotated test set
         (ref: trainer_modelnet.py:138-210)."""
         self.logger.log('Testing', 'Evaluating test set!')
-        accs = []
+        acc_key = ('racc' if (self.attention_model and
+                              self.opt.train_loss.attention_loss_type
+                              == 'no_cls') else 'acc')
+        dev_accs, dev_losses = [], []
         all_labels, all_feats = [], []
         for data in self.dataset_test:
             pc = jnp.asarray(data['pc'])
@@ -173,16 +176,19 @@ class TrainerModelNet(Trainer):
             rlabel = jnp.asarray(data['R_label'].reshape(-1))
             aux = self._eval_step(self.state, pc, label, rlabel,
                                   self.next_rng())
-            acc = float(aux['racc']) if (self.attention_model and
-                                         self.opt.train_loss.attention_loss_type
-                                         == 'no_cls') else float(aux['acc'])
-            accs.append(acc)
+            # keep scalars on device: per-scalar readbacks cost a full
+            # round trip each on the tunnel backend; one batched transfer
+            # after the loop replaces 2 per batch
+            dev_accs.append(aux[acc_key])
+            dev_losses.append(aux['cls_loss'])
             all_labels.append(np.asarray(label))
             all_feats.append(np.asarray(aux['feat']))
+        accs = np.asarray(jnp.stack(dev_accs), dtype=np.float32)
+        losses_np = np.asarray(jnp.stack(dev_losses), dtype=np.float32)
+        for acc, lv in zip(accs, losses_np):
             self.logger.log('Testing', 'Accuracy: %.1f, Loss: %.2f!' % (
-                100 * acc, float(aux['cls_loss'])))
+                100 * acc, lv))
 
-        accs = np.array(accs, dtype=np.float32)
         self.logger.log('Testing', 'Average accuracy is %.2f!!!!' % (100 * accs.mean()))
         self.test_accs.append(100 * accs.mean())
         self.logger.log('Testing', 'Best accuracy so far is %.2f!!!!' % (

@@ -147,7 +147,7 @@ class TrainerModelNetRotation(Trainer):
         """Median angular error in degrees + classifier acc
         (ref: trainer_modelnetRotation.py:136-176)."""
         self.logger.log('Testing', 'Evaluating test set!')
-        all_error, all_acc = [], []
+        all_error, dev_acc = [], []
         for data in self.dataset_test:
             nb = data['pc'].shape[0]
             aux = self._eval_step(
@@ -155,13 +155,16 @@ class TrainerModelNetRotation(Trainer):
                 jnp.asarray(data['R_label'].reshape(nb, -1)),
                 jnp.asarray(data['T'].astype(np.float32)),
                 jnp.asarray(data['R'].astype(np.float32)), self.next_rng())
-            all_acc.append(float(aux['r_acc']))
+            # scalars stay on device; one batched readback after the loop
+            # (per-scalar reads cost a round trip each on the tunnel)
+            dev_acc.append(aux['r_acc'])
             all_error.append(np.asarray(aux['angular_error']))
+        all_acc = np.asarray(jnp.stack(dev_acc), dtype=np.float32)
+        for acc, err in zip(all_acc, all_error):
             self.logger.log('Testing', 'Accuracy: %.1f, error: %.2f!' % (
-                100 * all_acc[-1], float(np.mean(all_error[-1]))))
+                100 * acc, float(np.mean(err))))
 
         all_error = np.concatenate(all_error, 0)
-        all_acc = np.array(all_acc, dtype=np.float32)
         self.logger.log('Testing', 'Average classifier acc is %.2f!!!!'
                         % (100 * all_acc.mean()))
         median_deg = float(np.median(all_error) * 180 / np.pi)

@@ -132,12 +132,33 @@ def evaluate_scene(scene_dir, feature_dir, scene_name, suffix=None,
                         get_kp_path(src_frag_id), get_kp_path(tgt_frag_id),
                         srcp, tgtp, gt_transform, 0.1, descriptor])
 
-    if num_thread > 1:
+    import __main__
+    main_file = getattr(__main__, '__file__', None)
+    if main_file is None or not os.path.exists(main_file):
+        # interactive / stdin parent: spawn cannot re-import __main__ and
+        # retries forever — run serially
+        num_thread = 1
+    if num_thread > 1 and len(mp_args) > 1:
         # spawn (not fork): the caller is usually a JAX process and fork
-        # deadlocks with multithreaded runtimes
+        # deadlocks with multithreaded runtimes. Pin the workers to the CPU
+        # backend BEFORE spawning: they only do numpy/KDTree work, and a
+        # child importing jax at startup (sitecustomize) would otherwise
+        # try to initialize the parent's TPU backend and can hang on it.
         import multiprocessing as mp
-        with mp.get_context('spawn').Pool(num_thread) as pool:
-            rst = pool.starmap(evaluate_fragment_pair, mp_args)
+        saved = {k: os.environ.get(k)
+                 for k in ('JAX_PLATFORMS', 'JAX_PLATFORM_NAME')}
+        os.environ['JAX_PLATFORMS'] = 'cpu'
+        os.environ['JAX_PLATFORM_NAME'] = 'cpu'
+        try:
+            with mp.get_context('spawn').Pool(
+                    min(num_thread, len(mp_args))) as pool:
+                rst = pool.starmap(evaluate_fragment_pair, mp_args)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
     else:
         rst = [evaluate_fragment_pair(*a) for a in mp_args]
     n_inliers, inlier_ratios, result_log, kpts = zip(*rst)
