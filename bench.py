@@ -197,6 +197,45 @@ def bench_rotation(batch=8, input_num=1024, kanchor=60, iters=10):
     return batch / dt, dt
 
 
+def bench_train_e2e(batch=12, iters=30):
+    """END-TO-END trainer wall-clock (host data pipeline + dispatch +
+    device step + deferred metrics) through the real TrainerModelNet loop
+    on a synthetic on-disk dataset — the number a user's training job sees,
+    vs bench_train's pure device step."""
+    import tempfile
+
+    import jax
+    from epn_pointcloud_tpu.app.config import default_opt
+    from epn_pointcloud_tpu.app.trainer_modelnet import TrainerModelNet
+    from epn_pointcloud_tpu.data import synthetic
+
+    root = os.path.join(tempfile.gettempdir(), 'bench_mn5_synth')
+    if not os.path.exists(os.path.join(root, 'airplane')):
+        synthetic.make_modelnet_tree(root, n_cats=5, n_train=24, n_test=4,
+                                     n_points=2048)
+    opt = default_opt(**{'dataset_path': root, 'model.input_num': 1024,
+                         'model.kanchor': 60, 'model.flag': 'attention',
+                         'model.model': 'cls_so3net_pn',
+                         'compute_dtype': 'bf16', 'num_iterations': 5,
+                         'experiment_id': 'bench_e2e'})
+    opt.batch_size = batch
+    trainer = TrainerModelNet(opt)
+    for _ in range(4):                        # compile + warm the pipeline
+        trainer.step()
+    jax.block_until_ready(trainer.state.params)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        trainer.timer.set_point('train_iter')
+        trainer.step()
+        trainer.summary.update(
+            {'Time': trainer.timer.reset_point('train_iter')})
+        if i % 10 == 0:
+            trainer._print_running_stats(f'bench iter {i}')
+    jax.block_until_ready(trainer.state.params)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt, dt
+
+
 def main():
     clouds_per_sec, step_time = bench_forward()
     print(f'[bench] step_time={step_time * 1e3:.2f} ms  '
@@ -206,6 +245,14 @@ def main():
         print(f'[bench-extra] train step_time={dt * 1e3:.1f} ms  '
               f'throughput={tput:.1f} clouds/s (b12, attention)',
               file=sys.stderr)
+        try:
+            eput, edt = bench_train_e2e()
+            print(f'[bench-extra] end-to-end trainer loop {edt * 1e3:.1f} '
+                  f'ms/iter wall ({eput:.1f} clouds/s incl. host pipeline)',
+                  file=sys.stderr)
+        except Exception as e:  # never break the JSON contract
+            print(f'[bench-extra] e2e trainer bench skipped: {e}',
+                  file=sys.stderr)
         dput, ddt = bench_descriptor_extraction()
         print(f'[bench-extra] 3dmatch descriptor extraction '
               f'{dput:.1f} patches/s ({ddt * 1e3:.1f} ms @ b48)',

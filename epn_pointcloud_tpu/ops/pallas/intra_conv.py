@@ -273,9 +273,16 @@ def _bwd_pallas(f_flat, dout, w2, trace_idx, t, interpret, ss=None,
     if p > p_total:
         f_flat = jnp.pad(f_flat, ((0, 0), (0, p - p_total), (0, 0)))
         dout = jnp.pad(dout, ((0, 0), (0, p - p_total), (0, 0)))
-    # cap T so the [na*T, K*C] stacked-operand scratch stays bounded
+    # cap T so the [na*T, K*C] stacked-operand scratch stays bounded. The
+    # caps are empirically calibrated on chip (the true VMEM demand also
+    # carries double-buffered windows, f32 accumulators, and Mosaic's
+    # stack-allocated per-anchor GEMM partials, which scale worse than
+    # itemsize-linear): bf16 c=d=256 runs at T=64 (fall 22.5 MB, the
+    # flagship training tile), while fp32 c=d=256 OOMs at T=32 (fall
+    # 22.5 MB too) and passes at T=24 — hence the tighter fp32 cap.
+    cap_mb = _FALL_CAP_MB if f_flat.dtype.itemsize <= 2 else 18
     while (t > 8 and na * t * nk * c * f_flat.dtype.itemsize
-           > _FALL_CAP_MB * 2 ** 20):
+           > cap_mb * 2 ** 20):
         t -= 8
     while p % t != 0:
         t -= 8
