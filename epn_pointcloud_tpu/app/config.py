@@ -89,6 +89,9 @@ def build_parser() -> HierarchyArgumentParser:
     # bf16 = production (bf16 streams, fp32-accumulating MXU GEMMs).
     train.add_argument('--compute-dtype', type=str, default='fp32',
                        choices=['fp32', 'bf16'])
+    # devices along the mesh's 'anchor' axis (anchor-axis tensor
+    # parallelism); the rest go to the 'data' axis
+    train.add_argument('--mesh-anchor', type=int, default=1)
 
     lr = parser.add_parser('train_lr')
     lr.add_argument('-lr', '--init-lr', type=float, default=1e-3)

@@ -147,9 +147,15 @@ class Trainer:
         self.logger.log('Setup', 'Optimizer all-set!')
 
     def _setup_mesh(self):
-        """Data-parallel mesh over all visible devices (the TPU-native
-        stand-in for the reference's DataParallel, trainer.py:153-160)."""
-        self.mesh = make_mesh()
+        """Mesh over all visible devices: data-parallel by default (the
+        TPU-native stand-in for the reference's DataParallel,
+        trainer.py:153-160), with an optional anchor-axis TP dimension
+        (--mesh-anchor). Multi-host: one SPMD program per process over the
+        same global mesh (parallel/distributed.py)."""
+        from ..parallel import init_distributed
+        self.process_id = init_distributed()
+        self.mesh = make_mesh(n_anchor=getattr(self.opt, 'mesh_anchor', 1)
+                              or 1)
         from ..parallel import set_global_mesh
         set_global_mesh(self.mesh)  # activates shard_map'd Pallas paths
         from ..ops import so3conv

@@ -1,0 +1,72 @@
+"""Multi-host (multi-process) SPMD setup.
+
+The reference's only multi-device story is single-process nn.DataParallel
+(ref: vgtk/app/trainer.py:153-160); it has no NCCL/MPI/torch.distributed
+path at all (SURVEY §2.5). The TPU-native scale-out is one SPMD program per
+host: `jax.distributed.initialize` wires the hosts into one runtime (ICI
+within a slice, DCN across slices), every process runs the same jitted
+step over a global mesh, and XLA places the gradient/batch-stat collectives.
+The host input pipeline is sharded per process: each host loads only its
+`1/num_processes` slice of the global batch and assembles a global array
+with `jax.make_array_from_process_local_data`.
+
+Single-process use is a no-op passthrough, so the trainers call these
+helpers unconditionally.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Initialize the multi-process JAX runtime; returns this process's id.
+
+    With no arguments and no cluster environment this is a no-op (single
+    process, id 0). On TPU pods the three arguments are normally inferred
+    from the environment, so `init_distributed()` also works there.
+    """
+    if coordinator_address is None and num_processes is None:
+        try:
+            if jax.process_count() > 1:
+                return jax.process_index()
+        except RuntimeError:
+            pass
+        if num_processes in (None, 1):
+            return 0
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index()
+
+
+def process_slice(n: int) -> slice:
+    """This process's contiguous shard of a length-n global batch dimension
+    (each host's DataLoader draws only these indices)."""
+    pc, pi = jax.process_count(), jax.process_index()
+    assert n % pc == 0, (n, pc)
+    per = n // pc
+    return slice(pi * per, (pi + 1) * per)
+
+
+def global_batch_from_local(local, mesh: Mesh):
+    """Assemble a globally batch-sharded array from per-process local data.
+
+    `local` is this host's `[global_batch / process_count, ...]` numpy
+    slice; the result behaves like a global `[global_batch, ...]` array
+    sharded over the mesh's 'data' axis. Single-process: equivalent to
+    shard_batch's device_put.
+    """
+    local = np.asarray(local)
+    global_shape = (local.shape[0] * jax.process_count(),) + local.shape[1:]
+    sharding = NamedSharding(mesh, P('data', *([None] * (local.ndim - 1))))
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(sharding, local,
+                                                  global_shape)

@@ -60,3 +60,33 @@ def test_train_save_resume_eval(mn_root, tmp_path):
 
     acc = t2.eval()
     assert 0.0 <= acc <= 1.0
+
+
+def test_trainer_anchor_tp_mesh(mn_root, tmp_path):
+    """--mesh-anchor 2 trains on a ('data','anchor') mesh (4 x 2 on the
+    8-virtual-device CPU backend) and produces finite stats."""
+    from epn_pointcloud_tpu.app.trainer_modelnet import TrainerModelNet
+
+    opt = _make_opt(mn_root, tmp_path, mesh_anchor=2)
+    t = TrainerModelNet(opt)
+    assert t.mesh.devices.shape == (4, 2)
+    t.train()
+    assert np.isfinite(t.summary.get_item('Loss'))
+    from epn_pointcloud_tpu.parallel import set_global_mesh
+    set_global_mesh(None)
+
+
+def test_distributed_helpers_single_process():
+    """init_distributed is a no-op single-process; process_slice covers the
+    batch; global_batch_from_local round-trips through the mesh sharding."""
+    import jax
+    from epn_pointcloud_tpu.parallel import (global_batch_from_local,
+                                             init_distributed, make_mesh,
+                                             process_slice)
+    assert init_distributed() == 0
+    assert process_slice(8) == slice(0, 8)
+    mesh = make_mesh()
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    g = global_batch_from_local(x, mesh)
+    assert g.shape == (8, 3)
+    np.testing.assert_allclose(np.asarray(g), x)
