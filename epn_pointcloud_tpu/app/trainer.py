@@ -30,6 +30,11 @@ class Trainer:
         opt_dict = config_lib.dump_args(opt)
         self.check_opt(opt)
 
+        # multi-host wiring must precede ANY backend-initializing JAX call
+        # (jax.random.PRNGKey below initializes the backend)
+        from ..parallel import init_distributed
+        self.process_id = init_distributed()
+
         # set random seed (ref: trainer.py:25-29; JAX is deterministic by
         # construction — host-side numpy/python rngs are what need pinning)
         random.seed(self.opt.seed)
@@ -152,8 +157,6 @@ class Trainer:
         trainer.py:153-160), with an optional anchor-axis TP dimension
         (--mesh-anchor). Multi-host: one SPMD program per process over the
         same global mesh (parallel/distributed.py)."""
-        from ..parallel import init_distributed
-        self.process_id = init_distributed()
         self.mesh = make_mesh(n_anchor=getattr(self.opt, 'mesh_anchor', 1)
                               or 1)
         from ..parallel import set_global_mesh

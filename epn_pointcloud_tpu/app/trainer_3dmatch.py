@@ -110,6 +110,24 @@ class Trainer3DMatch(Trainer):
             state = state.apply_gradients(grads=grads)
             if mut:
                 state = state.replace(batch_stats=mut['batch_stats'])
+            # derived log scalars computed IN-JIT (per-step eager device
+            # arithmetic leaks arguments memory on this backend)
+            if alpha > 0:
+                aux['log'] = {
+                    'Loss': aux['inv_loss'] + alpha * aux['equi_loss'],
+                    'InvLoss': aux['inv_loss'],
+                    'Pos': aux['inv']['fpos'],
+                    'Neg': aux['inv']['cneg'],
+                    'Acc': 100.0 * aux['inv']['accuracy'],
+                    'EquiLoss': aux['equi_loss'],
+                    'EquiPos': aux['equi']['fpos'],
+                    'EquiNeg': aux['equi']['cneg'],
+                    'EquiAcc': 100.0 * aux['equi']['accuracy']}
+            else:
+                aux['log'] = {'Loss': aux['fpos'] - aux['cneg'],
+                              'Pos': aux['fpos'],
+                              'Neg': aux['cneg'],
+                              'Acc': 100.0 * aux['accuracy']}
             return state, aux
 
         @jax.jit
@@ -144,26 +162,8 @@ class Trainer3DMatch(Trainer):
         self.state, aux = self._train_step(self.state, batch['src'],
                                            batch['tgt'], batch['T'],
                                            self.next_rng())
-        # device scalars, read lazily at log time (no per-step host sync)
-        if self.equi_alpha > 0:
-            self.summary.update_async({
-                'Loss': aux['inv_loss'] + self.equi_alpha * aux['equi_loss'],
-                'InvLoss': aux['inv_loss'],
-                'Pos': aux['inv']['fpos'],
-                'Neg': aux['inv']['cneg'],
-                'Acc': 100 * aux['inv']['accuracy'],
-                'EquiLoss': aux['equi_loss'],
-                'EquiPos': aux['equi']['fpos'],
-                'EquiNeg': aux['equi']['cneg'],
-                'EquiAcc': 100 * aux['equi']['accuracy'],
-            })
-        else:
-            self.summary.update_async({
-                'Loss': aux['fpos'] - aux['cneg'],
-                'Pos': aux['fpos'],
-                'Neg': aux['cneg'],
-                'Acc': 100 * aux['accuracy'],
-            })
+        # device scalars (computed in-jit), read lazily at log time
+        self.summary.update_async(aux['log'])
         self.iter_counter += 1
 
     def test(self):

@@ -108,6 +108,16 @@ class TrainerModelNet(Trainer):
             state = state.apply_gradients(grads=grads)
             if mut:
                 state = state.replace(batch_stats=mut['batch_stats'])
+            # derived log scalars computed IN-JIT (per-step eager device
+            # arithmetic leaks arguments memory on this backend)
+            if 'racc' in aux:
+                aux['log'] = {'Loss': aux['cls_loss'],
+                              'Acc': 100.0 * aux['acc'],
+                              'R_Loss': aux['r_loss'],
+                              'R_Acc': 100.0 * aux['racc']}
+            else:
+                aux['log'] = {'Loss': aux['cls_loss'],
+                              'Acc': 100.0 * aux['acc']}
             return state, aux
 
         @jax.jit
@@ -144,19 +154,10 @@ class TrainerModelNet(Trainer):
             self.state, batch['pc'], batch['label'], batch['R_label'],
             self.iter_counter, self.next_rng())
 
-        # device scalars, read lazily at log time (a float() here would
-        # block the host on the step result and serialize batch prep
-        # against device compute)
-        if self.attention_model:
-            self.summary.update_async({
-                'Loss': aux['cls_loss'],
-                'Acc': 100 * aux['acc'],
-                'R_Loss': aux['r_loss'],
-                'R_Acc': 100 * aux['racc'],
-            })
-        else:
-            self.summary.update_async({'Loss': aux['cls_loss'],
-                                       'Acc': 100 * aux['acc']})
+        # device scalars (computed in-jit), read lazily at log time — a
+        # float() here would block the host on the step result and
+        # serialize batch prep against device compute
+        self.summary.update_async(aux['log'])
 
     def test(self):
         self.eval()
@@ -181,10 +182,16 @@ class TrainerModelNet(Trainer):
             # after the loop replaces 2 per batch
             dev_accs.append(aux[acc_key])
             dev_losses.append(aux['cls_loss'])
-            all_labels.append(np.asarray(label))
-            all_feats.append(np.asarray(aux['feat']))
+            all_labels.append(data['label'].reshape(-1))   # host data as-is
+            all_feats.append(aux['feat'])                  # stays on device
+        if not dev_accs:
+            self.logger.log('Testing', 'Test set is empty!')
+            return float('nan')
         accs = np.asarray(jnp.stack(dev_accs), dtype=np.float32)
         losses_np = np.asarray(jnp.stack(dev_losses), dtype=np.float32)
+        # all_labels/all_feats feed the reference's (commented) retrieval-mAP
+        # hook (trainer_modelnet.py:206-207); feats stay on device until a
+        # consumer actually needs them
         for acc, lv in zip(accs, losses_np):
             self.logger.log('Testing', 'Accuracy: %.1f, Loss: %.2f!' % (
                 100 * acc, lv))

@@ -95,6 +95,12 @@ class TrainerModelNetRotation(Trainer):
             state = state.apply_gradients(grads=grads)
             if mut:
                 state = state.replace(batch_stats=mut['batch_stats'])
+            # derived log scalars computed IN-JIT (per-step eager device
+            # arithmetic leaks arguments memory on this backend)
+            aux['log'] = {'Loss': aux['cls_loss'] + aux['l2_loss'],
+                          'Reg_Loss': aux['l2_loss'],
+                          'Mean_Err': jnp.mean(aux['angular_error']),
+                          'R_Acc': 100.0 * aux['r_acc']}
             return state, aux
 
         @jax.jit
@@ -132,13 +138,8 @@ class TrainerModelNetRotation(Trainer):
         self.state, aux = self._train_step(
             self.state, batch['pc'], batch['R_label'], batch['T'], batch['R'],
             self.next_rng())
-        # device scalars, read lazily at log time (no per-step host sync)
-        self.summary.update_async({
-            'Loss': aux['cls_loss'] + aux['l2_loss'],
-            'Reg_Loss': aux['l2_loss'],
-            'Mean_Err': jnp.mean(aux['angular_error']),
-            'R_Acc': 100 * aux['r_acc'],
-        })
+        # device scalars (computed in-jit), read lazily at log time
+        self.summary.update_async(aux['log'])
 
     def test(self):
         self.eval()
@@ -155,11 +156,17 @@ class TrainerModelNetRotation(Trainer):
                 jnp.asarray(data['R_label'].reshape(nb, -1)),
                 jnp.asarray(data['T'].astype(np.float32)),
                 jnp.asarray(data['R'].astype(np.float32)), self.next_rng())
-            # scalars stay on device; one batched readback after the loop
-            # (per-scalar reads cost a round trip each on the tunnel)
+            # everything stays on device; ONE batched readback after the
+            # loop (each device->host read costs a full tunnel round trip)
             dev_acc.append(aux['r_acc'])
-            all_error.append(np.asarray(aux['angular_error']))
+            all_error.append(aux['angular_error'].reshape(-1))
+        if not dev_acc:
+            self.logger.log('Testing', 'Test set is empty!')
+            return float('nan')
         all_acc = np.asarray(jnp.stack(dev_acc), dtype=np.float32)
+        all_error = [np.asarray(e) for e in
+                     np.split(np.asarray(jnp.concatenate(all_error, 0)),
+                              np.cumsum([e.shape[0] for e in all_error])[:-1])]
         for acc, err in zip(all_acc, all_error):
             self.logger.log('Testing', 'Accuracy: %.1f, error: %.2f!' % (
                 100 * acc, float(np.mean(err))))

@@ -120,19 +120,10 @@ def rotate_perturbation_point_cloud_with_normal_som(pc, surface_normal, som,
 
 def batch_rotate_point_cloud(data, R=None, rng=None):
     """One shared rotation applied to a whole [b, n, 3] batch; R may be a
-    3x3 matrix or Euler angles (random SO(3) when None). Returns the rotated
-    batch (ref: pc/augmentation.py:92-116; torch there, numpy here)."""
-    rng = rng or np.random
-    if R is None:
-        R = sciR.random(
-            random_state=rng if isinstance(rng, np.random.RandomState) else None
-        ).as_matrix()
-    R = np.asarray(R)
-    if isinstance(R, list) or R.ndim == 1:
-        R = R_from_euler_np(np.asarray(R))
-    else:
-        assert R.shape[0] >= 3 and R.shape[1] >= 3
-        R = R[:3, :3]
+    3x3 matrix or Euler angles (random SO(3) when None). Returns
+    (rotated batch, R) (ref: pc/augmentation.py:92-116; torch there,
+    numpy here). R normalization is rotate_point_cloud's (pc.py:53)."""
+    _, R = rotate_point_cloud(None, R=R, rng=rng)
     return np.einsum('ij,bnj->bni', R, data), R
 
 

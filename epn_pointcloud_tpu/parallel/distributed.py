@@ -23,27 +23,43 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_CLUSTER_ENV_KEYS = (
+    # NOT 'TPU_WORKER_HOSTNAMES': some single-host TPU plugins set it too
+    'JAX_COORDINATOR_ADDRESS', 'COORDINATOR_ADDRESS',
+    'MEGASCALE_COORDINATOR_ADDRESS',
+    'SLURM_JOB_NUM_NODES', 'OMPI_COMM_WORLD_SIZE',
+)
+
+
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> int:
     """Initialize the multi-process JAX runtime; returns this process's id.
 
-    With no arguments and no cluster environment this is a no-op (single
-    process, id 0). On TPU pods the three arguments are normally inferred
-    from the environment, so `init_distributed()` also works there.
+    Explicit arguments always call `jax.distributed.initialize` with them.
+    With no arguments: auto-initialize when a cluster environment is
+    detected (coordinator/pod env vars), otherwise no-op (single process,
+    id 0). Must run BEFORE any backend-initializing JAX call — the trainers
+    call it first thing in __init__.
     """
-    if coordinator_address is None and num_processes is None:
+    if coordinator_address is not None or num_processes is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return jax.process_index()
+    import os
+    if any(k in os.environ for k in _CLUSTER_ENV_KEYS):
         try:
-            if jax.process_count() > 1:
-                return jax.process_index()
+            jax.distributed.initialize()   # args inferred from environment
         except RuntimeError:
-            pass
-        if num_processes in (None, 1):
+            pass                           # already initialized
+        except ValueError as e:
+            # env looked cluster-like but lacks a coordinator: single host
+            import warnings
+            warnings.warn(f'init_distributed: auto-init skipped ({e})')
             return 0
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
-    return jax.process_index()
+        return jax.process_index()
+    return 0
 
 
 def process_slice(n: int) -> slice:

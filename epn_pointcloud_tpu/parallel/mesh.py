@@ -24,8 +24,15 @@ def make_mesh(n_data: Optional[int] = None, n_anchor: int = 1,
     """1-D data mesh by default; pass n_anchor > 1 for a 2-D
     ('data', 'anchor') mesh."""
     devices = list(devices if devices is not None else jax.devices())
+    if n_anchor < 1 or len(devices) % n_anchor != 0:
+        raise ValueError(
+            f'n_anchor={n_anchor} must be >= 1 and divide the device count '
+            f'({len(devices)}) — a remainder would silently idle devices')
     if n_data is None:
         n_data = len(devices) // n_anchor
+    if n_data * n_anchor > len(devices):
+        raise ValueError(f'{n_data} x {n_anchor} mesh needs '
+                         f'{n_data * n_anchor} devices, have {len(devices)}')
     devs = np.asarray(devices[:n_data * n_anchor]).reshape(n_data, n_anchor)
     return Mesh(devs, ('data', 'anchor'))
 

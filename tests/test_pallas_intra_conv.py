@@ -134,3 +134,45 @@ def test_norm_scale_shift_mode_matches_apply():
                                 mutable=['batch_stats'])
     np.testing.assert_allclose(np.asarray(x * scale[:, None] + shift[:, None]),
                                np.asarray(y), rtol=1e-4, atol=1e-4)
+
+
+def test_intra_prenorm_multitile_grid_and_padding():
+    """The prenorm backward's VMEM-persistent dscale/dshift accumulation
+    across POINT TILES and its re-zeroing across BATCHES (pl.when on
+    program_id) — exercised with b=2, p//t=4, plus an unaligned p_total
+    (padded rows must contribute nothing). The small-grid test above never
+    runs those paths."""
+    from epn_pointcloud_tpu.ops.pallas.intra_conv import (intra_conv,
+                                                          intra_conv_prenorm)
+    rng = np.random.RandomState(7)
+    na, nk = 8, 3
+    ti = np.stack([(np.arange(na) + k) % na for k in range(nk)], axis=1)
+    tit = tuple(map(tuple, ti.tolist()))
+    c, d = 16, 24
+    for b, p in ((2, 32), (1, 27)):       # multi-batch/multi-tile; unaligned
+        f = jnp.asarray(rng.randn(b, p, na * c).astype(np.float32))
+        W = jnp.asarray(rng.randn(nk, c, d).astype(np.float32) * 0.1)
+        w2 = jnp.transpose(W, (1, 0, 2)).reshape(c, nk * d)
+        scale = jnp.asarray(rng.rand(b, na * c).astype(np.float32) + 0.5)
+        shift = jnp.asarray(rng.randn(b, na * c).astype(np.float32) * 0.3)
+        ss = jnp.zeros((b, 8, na * c), jnp.float32)
+        ss = ss.at[:, 0].set(scale).at[:, 1].set(shift)
+
+        def loss_pl(f, ss, w2):
+            return jnp.sum(jnp.sin(intra_conv_prenorm(
+                f, ss, w2, tit, 'leaky_relu', 0.01, 8, True)))
+
+        def loss_ref(f, ss, w2):
+            z = jax.nn.leaky_relu(f * ss[:, 0:1] + ss[:, 1:2], 0.01)
+            return jnp.sum(jnp.sin(intra_conv(z, w2, tit, 8, True)))
+
+        o1 = intra_conv_prenorm(f, ss, w2, tit, 'leaky_relu', 0.01, 8, True)
+        z = jax.nn.leaky_relu(f * scale[:, None] + shift[:, None], 0.01)
+        o2 = intra_conv(z, w2, tit, 8, True)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-5, atol=1e-5)
+        g1 = jax.grad(loss_pl, argnums=(0, 1, 2))(f, ss, w2)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(f, ss, w2)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-3)
