@@ -235,16 +235,16 @@ def ball_query(query: jnp.ndarray, support: jnp.ndarray, radius: float,
         out = jnp.pad(out, ((0, 0), (0, 0), (0, n_sample - k_eff)))
 
     # Periodic repeat fill: idx[s] = idx[s % cnt] for s >= cnt (cnt=0 -> 0).
-    # Unrolled select-sum instead of take_along_axis: single-element gathers
-    # are dispatch-bound on TPU (~15 ms/step across the model vs <1 ms of
-    # VPU selects).
+    # One masked reduction instead of take_along_axis (single-element gathers
+    # are dispatch-bound on TPU, ~15 ms/step across the model) or an unrolled
+    # select-sum loop (3 tiny HLO ops per slot x n_sample slots x layer:
+    # ~850 dispatches / ~3 ms per flagship step). The [*, k, k] compare-
+    # select never materializes — XLA fuses it into the reduce loop.
     s = jnp.arange(n_sample)[None, None, :]
     cnt_safe = jnp.maximum(cnt, 1)[..., None]
     src = jnp.where(s < cnt[..., None], s, s % cnt_safe)   # [b, m, n_sample]
-    filled = jnp.zeros_like(out)
-    for t in range(n_sample):
-        filled = filled + jnp.where(src == t, out[..., t:t + 1], 0)
-    return filled
+    eq = src[..., :, None] == s[..., None, :]              # [b, m, k, k]
+    return jnp.where(eq, out[..., None, :], 0).sum(-1)
 
 
 # ---------------------------------------------------------------------------
