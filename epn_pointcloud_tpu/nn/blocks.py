@@ -149,7 +149,18 @@ class SeparableSO3ConvBlock(fnn.Module):
                 activation=p['activation'])(x, train=train,
                                             prenorm=deferred)
         if p['stride'] > 1:
-            skip_feature = sampling.gather_points(skip_feature, sample_idx)
+            if ones_input:
+                # occupancy-ones input (block0 L0): gathering an all-ones
+                # field is the identity, so rebuild the constant at the
+                # strided point count instead — XLA then folds the whole
+                # skip branch (gather one-hot GEMM + 1x1 multiply + layout
+                # copy) into a single broadcast. Bit-exact.
+                skip_feature = jnp.ones(
+                    (skip_feature.shape[0], x.xyz.shape[1])
+                    + skip_feature.shape[2:], skip_feature.dtype)
+            else:
+                skip_feature = sampling.gather_points(skip_feature,
+                                                      sample_idx)
         if skip_feature.ndim == 3:
             # packed [b, p, na*c]: the 1x1 conv mixes channels per anchor
             # (grouped Pallas kernel on TPU — stays in the packed layout)
