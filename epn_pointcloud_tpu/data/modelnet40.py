@@ -20,6 +20,14 @@ from ..ops.rotation import label_relative_rotation_np, rotation_distance_np
 from . import pc as pctk
 
 
+def _mode_seed(seed: int, mode: str) -> int:
+    """Stable per-mode RNG seed. The reference keeps one torch/numpy seed for
+    the whole process (options.py:17 + trainer.py:25-29); we derive a
+    deterministic per-split stream WITHOUT Python's salted ``hash()`` so two
+    runs with the same seed see identical data."""
+    return int(seed) + sum(ord(c) for c in mode) % 1000
+
+
 class Dataset:
     """Minimal map-style dataset + seeded shuffling iterator."""
 
@@ -78,7 +86,7 @@ class Dataloader_ModelNet40(Dataset):
         self.mode = opt.mode if mode is None else mode
         self.flag = opt.model.flag
         self.anchors = icosahedron.get_anchors()
-        self.rng = np.random.RandomState(opt.seed + hash(self.mode) % 1000)
+        self.rng = np.random.RandomState(_mode_seed(opt.seed, self.mode))
 
         if self.flag == 'rotation':
             cats = ['airplane']
@@ -103,8 +111,12 @@ class Dataloader_ModelNet40(Dataset):
             pc = data['pc']
         pc = pctk.normalize_np(pc.T).T
 
+        # Unrotated samples carry the identity anchor's label. The reference
+        # hardcodes 29 (SPConvNets/datasets/modelnet40.py:61) because ITS
+        # anchor ordering puts the identity at index 29; ours puts it at 0
+        # (ops/icosahedron.py), so the literal must go through the API.
         R = np.eye(3)
-        R_label = 29
+        R_label = icosahedron.get_identity_index()
         if not self.opt.no_augmentation:
             if 'R' in data.keys() and self.mode != 'train':
                 pc, R = pctk.rotate_point_cloud(pc, data['R'], rng=self.rng)
@@ -129,7 +141,7 @@ class Dataloader_ModelNet40Alignment(Dataset):
         self.opt = opt
         self.mode = opt.mode if mode is None else mode
         self.anchors = icosahedron.get_anchors(opt.model.kanchor)
-        self.rng = np.random.RandomState(opt.seed + hash(self.mode) % 1000)
+        self.rng = np.random.RandomState(_mode_seed(opt.seed, self.mode))
 
         cats = ['airplane']
         self.all_data = []

@@ -239,7 +239,11 @@ def ball_query(query: jnp.ndarray, support: jnp.ndarray, radius: float,
     # are dispatch-bound on TPU, ~15 ms/step across the model) or an unrolled
     # select-sum loop (3 tiny HLO ops per slot x n_sample slots x layer:
     # ~850 dispatches / ~3 ms per flagship step). The [*, k, k] compare-
-    # select never materializes — XLA fuses it into the reduce loop.
+    # select never materializes — XLA fuses it into the reduce loop. NOTE:
+    # if that fusion ever breaks (compiler update, interpret mode) the
+    # intermediate is quadratic in n_sample ([b,m,k,k]); n_sample <= 64
+    # everywhere in the builder formulas, so worst case is a transient
+    # b*m*4096 buffer — fall back to take_along_axis if k ever grows.
     s = jnp.arange(n_sample)[None, None, :]
     cnt_safe = jnp.maximum(cnt, 1)[..., None]
     src = jnp.where(s < cnt[..., None], s, s % cnt_safe)   # [b, m, n_sample]

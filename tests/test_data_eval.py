@@ -57,6 +57,39 @@ def test_modelnet_loader(mn_root):
     assert batch['label'].shape == (4,)
 
 
+def test_modelnet_unrotated_R_label_is_identity_anchor(mn_root):
+    """no_augmentation samples must label the IDENTITY anchor — the
+    reference hardcodes 29 because its identity anchor sits at index 29
+    (SPConvNets/datasets/modelnet40.py:61); ours sits wherever
+    get_identity_index() says (regression for the transcribed literal)."""
+    from epn_pointcloud_tpu.ops import icosahedron
+    opt = default_opt(dataset_path=mn_root, **{'model.input_num': 64})
+    opt.mode = 'train'
+    opt.no_augmentation = True
+    ds = Dataloader_ModelNet40(opt)
+    item = ds[0]
+    idx = icosahedron.get_identity_index()
+    assert int(item['R_label']) == idx
+    np.testing.assert_allclose(
+        icosahedron.get_anchors()[idx], np.eye(3), atol=1e-6)
+
+
+def test_modelnet_same_seed_same_stream(mn_root):
+    """Determinism contract (reference seed 2913, options.py:17): two loaders
+    built with the same seed must produce identical batches — regression for
+    the salted-``hash(mode)`` seeding bug."""
+    def first_batch():
+        opt = default_opt(dataset_path=mn_root, **{'model.input_num': 64})
+        opt.mode = 'train'
+        ds = Dataloader_ModelNet40(opt)
+        return next(iter(DataLoader(ds, batch_size=4, shuffle=True)))
+
+    a, b = first_batch(), first_batch()
+    np.testing.assert_array_equal(a['pc'], b['pc'])
+    np.testing.assert_array_equal(a['R'], b['R'])
+    np.testing.assert_array_equal(a['R_label'], b['R_label'])
+
+
 def test_modelnet_alignment_loader(mn_root):
     opt = default_opt(dataset_path=mn_root, **{'model.input_num': 64})
     opt.mode = 'train'

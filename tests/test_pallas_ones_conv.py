@@ -74,6 +74,33 @@ def test_pick_kt_model_shapes():
     assert oc.pick_kt(1, 24) == 0       # na=1 kpconv: padding too costly
 
 
+def test_separable_block_ones_skip_branch_ab():
+    """SeparableSO3ConvBlock(ones_input=True) must equal ones_input=False on
+    an all-ones feature input: the strided-skip fast path rebuilds the
+    constant instead of gathering it (nn/blocks.py ones-skip branch), which
+    is only valid while the occupancy-ones invariant holds — this A/B pins
+    the value, not just the shape (advisor round-1 finding)."""
+    from epn_pointcloud_tpu.nn.blocks import SeparableSO3ConvBlock
+
+    rng = np.random.RandomState(3)
+    b, p, na = 1, 64, 60
+    xyz = jnp.asarray(rng.randn(b, p, 3).astype(np.float32) * 0.3)
+    x = so3conv.preprocess_input(jnp.asarray(xyz), na, False)
+    args = dict(type='separable_block', dim_in=1, dim_out=16, kernel_size=1,
+                stride=2, radius=0.4, sigma=0.08, n_neighbor=8, multiplier=2,
+                kanchor=na, lazy_sample=False, norm=None,
+                activation='relu', pooling='none', dropout_rate=0.0)
+    blk = SeparableSO3ConvBlock(args)
+    params = blk.init(jax.random.PRNGKey(0), x, train=False,
+                      ones_input=False)
+
+    def run(flag):
+        _, _, _, out = blk.apply(params, x, train=False, ones_input=flag)
+        return np.asarray(out.feats)
+
+    np.testing.assert_array_equal(run(True), run(False))
+
+
 def test_fused_ones_layer_matches_xla():
     """inter_so3conv_fused(ones_input=True) with the Pallas kernel forced
     (bf16 compute mode) matches the exact f32 XLA ones path, forward and
