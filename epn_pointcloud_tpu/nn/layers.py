@@ -49,6 +49,17 @@ def _kernels_const(radius: float, kernel_size: int) -> np.ndarray:
         KERNEL_CONDENSE_RATIO * radius, kernel_size)
 
 
+def _clear_convention_caches():
+    """Anchor/kernel constants are convention-dependent; flush on switch."""
+    _anchors_const.cache_clear()
+    _intra_idx_const.cache_clear()
+    _intra_onehot_const.cache_clear()
+    _kernels_const.cache_clear()
+
+
+icosahedron.register_convention_listener(_clear_convention_caches)
+
+
 def so3conv_weight_init(dim_in: int, dim_out: int, n_kernel: int):
     """xavier_normal_(gain=calculate_gain('relu')) on a [c_out, c_in, k]
     tensor, torch fan semantics: fan_in = c_in*k, fan_out = c_out*k

@@ -32,6 +32,44 @@ GAMMA_SIZE = 3  # in-plane rotations per face (ref: so3conv/functional.py:274)
 
 
 # ---------------------------------------------------------------------------
+# Anchor convention switch
+#
+# 'native'    — the generator-closure group below (identity at index 0).
+# 'reference' — the reference's exact ordering/orientation (identity at 29),
+#               derived in ops/ref_convention.py from the vendored
+#               sphere12.ply. Same group abstractly, different orientation +
+#               ordering; required to import reference-trained weights and
+#               to prove full-model numeric parity (see
+#               utils/torch_import.py and tests/test_reference_parity.py).
+# ---------------------------------------------------------------------------
+
+_CONVENTION = 'native'
+_CONVENTION_LISTENERS: list = []
+
+
+def register_convention_listener(fn) -> None:
+    """Register a zero-arg callback invoked on set_convention (downstream
+    modules clear their anchor-derived caches here)."""
+    _CONVENTION_LISTENERS.append(fn)
+
+
+def set_convention(name: str) -> None:
+    """Switch the global anchor convention ('native' | 'reference')."""
+    global _CONVENTION
+    if name not in ('native', 'reference'):
+        raise ValueError(f"convention must be 'native' or 'reference', got {name}")
+    if name == _CONVENTION:
+        return
+    _CONVENTION = name
+    for fn in _CONVENTION_LISTENERS:
+        fn()
+
+
+def get_convention() -> str:
+    return _CONVENTION
+
+
+# ---------------------------------------------------------------------------
 # Icosahedron mesh (programmatic replacement for sphere12.ply + trimesh)
 # ---------------------------------------------------------------------------
 
@@ -210,20 +248,27 @@ def _build_group():
     }
 
 
+def _active():
+    if _CONVENTION == 'reference':
+        from . import ref_convention
+        return ref_convention.build()
+    return _build_group()
+
+
 def get_anchors_full() -> np.ndarray:
     """All 60 anchor rotation matrices, float32 [60, 3, 3]."""
-    return _build_group()['anchors']
+    return _active()['anchors']
 
 
 def get_identity_index() -> int:
-    """Index of the identity anchor (the reference's is 29; ours is 0 by
-    construction — gamma 0 of face 0). Exact identity either way."""
-    return _build_group()['identity_idx']
+    """Index of the identity anchor (29 under the 'reference' convention;
+    0 under 'native'). Exact identity either way."""
+    return _active()['identity_idx']
 
 
 def get_intra_idx() -> np.ndarray:
     """[60, 12] int32 intra-conv anchor adjacency (ref: get_intra_idx)."""
-    return _build_group()['trace_idx']
+    return _active()['trace_idx']
 
 
 def get_canonical_relative():

@@ -111,8 +111,15 @@ def _repulsion_shell(n: int, seed: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _unit_kernel_family(n_points: int) -> np.ndarray:
-    """Kernel points at unit outer radius, [n_points, 3] float32."""
+def _unit_kernel_family(n_points: int, convention: str = 'native') -> np.ndarray:
+    """Kernel points at unit outer radius, [n_points, 3] float32.
+
+    convention 'reference' returns the exact kpsphere{24,30,66}.ply
+    coordinates (vendored; ref: so3conv/functional.py:86-96) so imported
+    reference weights see the kernel layout they were trained with."""
+    if convention == 'reference':
+        from . import ref_convention
+        return ref_convention.ref_kernel_points(n_points)
     if n_points == 66:
         return spherical_kernel_points_grid(1.0, 3, 3).astype(np.float32)
     if n_points == 24:
@@ -127,8 +134,16 @@ def _unit_kernel_family(n_points: int) -> np.ndarray:
 
 def get_spherical_kernel_points(radius: float, kernel_size: int) -> np.ndarray:
     """Kernel points scaled so max norm == radius
-    (ref: get_sphereical_kernel_points_from_ply, functional.py:86-96)."""
+    (ref: get_sphereical_kernel_points_from_ply, functional.py:86-96).
+
+    Follows the global anchor convention: under 'reference' the exact ply
+    coordinates are used, scaled with the reference's operation order
+    (pc * radius / r) for bit parity."""
     assert 0 < kernel_size <= 3
-    pts = _unit_kernel_family(KERNEL_SIZE_TO_NPOINTS[kernel_size])
+    from . import icosahedron
+    conv = icosahedron.get_convention()
+    pts = _unit_kernel_family(KERNEL_SIZE_TO_NPOINTS[kernel_size], conv)
     r = np.sqrt((pts ** 2).sum(1).max())
+    if conv == 'reference':
+        return (pts * radius / r).astype(np.float32)
     return (pts * (radius / r)).astype(np.float32)

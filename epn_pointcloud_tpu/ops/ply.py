@@ -65,6 +65,83 @@ def load_ply(path: str, properties=('x', 'y', 'z')) -> np.ndarray:
     return np.stack(cols, axis=1).astype(np.float32)
 
 
+def load_ply_mesh(path: str):
+    """Load (vertices [n,3] float32, faces [m,3] int64) from an ascii or
+    binary_little_endian PLY with triangular faces.
+
+    Needed for the reference-convention anchor derivation, which consumes the
+    icosahedron mesh's faces, not just its vertices (ref:
+    vgtk/vgtk/functional/rotation.py:240-244 via trimesh.load). Handles
+    variable-length list properties in the face element (vertex_indices plus
+    any trailing lists/scalars, e.g. VCGLIB's texcoord + color properties).
+    """
+    with open(path, 'rb') as f:
+        header = []
+        while True:
+            line = f.readline().decode('ascii', errors='replace').strip()
+            header.append(line)
+            if line == 'end_header':
+                break
+        fmt = next(l.split()[1] for l in header if l.startswith('format'))
+        counts, props, cur = {}, {}, None
+        for line in header:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == 'element':
+                cur = parts[1]
+                counts[cur] = int(parts[2])
+                props[cur] = []
+            elif parts[0] == 'property' and cur is not None:
+                if parts[1] == 'list':
+                    props[cur].append(('list', parts[2], parts[3], parts[4]))
+                else:
+                    props[cur].append((parts[1], parts[2]))
+
+        nv, nf = counts['vertex'], counts['face']
+        vprops, fprops = props['vertex'], props['face']
+
+        if fmt == 'ascii':
+            verts = []
+            vnames = [p[1] for p in vprops if p[0] != 'list']
+            for _ in range(nv):
+                vals = f.readline().split()
+                verts.append([float(vals[vnames.index(a)]) for a in 'xyz'])
+            faces = []
+            for _ in range(nf):
+                vals = f.readline().split()
+                k = int(vals[0])
+                faces.append([int(v) for v in vals[1:1 + k]])
+        elif fmt == 'binary_little_endian':
+            vdtype = np.dtype([(p[1], '<' + _PLY_TYPES[p[0]][0]) for p in vprops])
+            raw = np.frombuffer(f.read(vdtype.itemsize * nv), dtype=vdtype, count=nv)
+            verts = np.stack([raw[a].astype(np.float64) for a in 'xyz'], axis=1)
+            buf = f.read()
+            off = 0
+            faces = []
+            for _ in range(nf):
+                row = None
+                for p in fprops:
+                    if p[0] == 'list':
+                        cnt_t, val_t = _PLY_TYPES[p[1]], _PLY_TYPES[p[2]]
+                        k = int(np.frombuffer(buf, '<' + cnt_t[0], 1, off)[0])
+                        off += cnt_t[1]
+                        vals = np.frombuffer(buf, '<' + val_t[0], k, off)
+                        off += val_t[1] * k
+                        if p[3] == 'vertex_indices' or p[3] == 'vertex_index':
+                            row = vals.astype(np.int64)
+                    else:
+                        off += _PLY_TYPES[p[0]][1]
+                faces.append(row)
+        else:
+            raise ValueError(f'unsupported ply format {fmt}')
+
+    verts = np.asarray(verts, dtype=np.float32)
+    faces = np.asarray(faces, dtype=np.int64)
+    assert faces.shape[1] == 3, 'only triangular meshes supported'
+    return verts, faces
+
+
 def save_ply(path: str, points: np.ndarray, colors: np.ndarray | None = None,
              c: str | None = None, binary: bool = False) -> None:
     """Save [n,3] points (optionally with uint8 colors or color char
