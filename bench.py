@@ -240,11 +240,35 @@ def main():
     clouds_per_sec, step_time = bench_forward()
     print(f'[bench] step_time={step_time * 1e3:.2f} ms  '
           f'throughput={clouds_per_sec:.1f} clouds/s', file=sys.stderr)
-    if os.environ.get('BENCH_EXTRA'):
+
+    # secondary contract metrics (train + descriptor extraction): emitted as
+    # additional stdout JSON lines BEFORE the primary line, so a last-line
+    # parser still records the headline inference metric
+    extra_lines = []
+    try:
         tput, dt = bench_train()
-        print(f'[bench-extra] train step_time={dt * 1e3:.1f} ms  '
+        print(f'[bench] train step_time={dt * 1e3:.1f} ms  '
               f'throughput={tput:.1f} clouds/s (b12, attention)',
               file=sys.stderr)
+        extra_lines.append({
+            'metric': 'modelnet40_cls_60anchor_b12_1024pt_train_throughput',
+            'value': round(tput, 2), 'unit': 'clouds/sec/chip',
+            'vs_baseline': round(tput / TARGET_CLOUDS_PER_SEC, 4)})
+    except Exception as e:  # never break the JSON contract
+        print(f'[bench] train bench skipped: {e}', file=sys.stderr)
+    try:
+        dput, ddt = bench_descriptor_extraction()
+        print(f'[bench] 3dmatch descriptor extraction '
+              f'{dput:.1f} patches/s ({ddt * 1e3:.1f} ms @ b48)',
+              file=sys.stderr)
+        extra_lines.append({
+            'metric': '3dmatch_inv_60anchor_b48_1024pt_descriptor_throughput',
+            'value': round(dput, 2), 'unit': 'patches/sec/chip',
+            'vs_baseline': round(dput / TARGET_CLOUDS_PER_SEC, 4)})
+    except Exception as e:
+        print(f'[bench] descriptor bench skipped: {e}', file=sys.stderr)
+
+    if os.environ.get('BENCH_EXTRA'):
         try:
             eput, edt = bench_train_e2e()
             print(f'[bench-extra] end-to-end trainer loop {edt * 1e3:.1f} '
@@ -253,10 +277,6 @@ def main():
         except Exception as e:  # never break the JSON contract
             print(f'[bench-extra] e2e trainer bench skipped: {e}',
                   file=sys.stderr)
-        dput, ddt = bench_descriptor_extraction()
-        print(f'[bench-extra] 3dmatch descriptor extraction '
-              f'{dput:.1f} patches/s ({ddt * 1e3:.1f} ms @ b48)',
-              file=sys.stderr)
         rput, rdt = bench_forward(kanchor=20)
         print(f'[bench-extra] reduced config kanchor=20: '
               f'{rput:.1f} clouds/s ({rdt * 1e3:.1f} ms @ b32)',
@@ -264,6 +284,9 @@ def main():
         gput, gdt = bench_rotation()
         print(f'[bench-extra] rotation alignment (reg_so3net, pair b8): '
               f'{gput:.1f} pairs/s ({gdt * 1e3:.1f} ms)', file=sys.stderr)
+
+    for line in extra_lines:
+        print(json.dumps(line))
     print(json.dumps({
         'metric': 'modelnet40_cls_60anchor_b32_1024pt_inference_throughput',
         'value': round(clouds_per_sec, 2),

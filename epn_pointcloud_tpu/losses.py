@@ -51,7 +51,15 @@ def attention_cross_entropy(pred, label, wts, rlabel, loss_type: str = 'default'
             if rlabel.ndim == 1 else rlabel[:, :c]
         r_loss, racc = cross_entropy(wts, rlabel2)
     else:
-        r_loss, racc = cross_entropy(wts, rlabel.reshape(-1))
+        rl = rlabel.reshape(-1)
+        a = wts.shape[1]
+        if a < 60:
+            # kanchor<60: dataset labels span the full 60-group; relabel to
+            # the nearest subset anchor instead of zeroing out-of-range
+            # labels (the reference's CE here is undefined — CUDA assert)
+            from .ops import icosahedron
+            rl = jnp.asarray(icosahedron.anchor_subset_relabel_map(a))[rl]
+        r_loss, racc = cross_entropy(wts, rl)
 
     m = loss_margin
     if loss_type == 'schedule':

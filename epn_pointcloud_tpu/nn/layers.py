@@ -558,17 +558,8 @@ class InterSO3Conv(fnn.Module):
             na = anchors.shape[0]
             chunk = self.anchor_chunk
             if chunk <= 0:
-                # auto (measured on the flagship sweep): small chunks buy a
-                # bigger point tile for narrow layers; wide layers prefer
-                # large chunks (fewer table re-streams)
-                cands = [x for x in (10, 12, 15, 20, 30, na)
-                         if na % x == 0 and (x * self.dim_in) % 128 == 0]
-                if not cands:
-                    chunk = na
-                elif self.dim_in <= 64 and self.n_neighbor <= 16:
-                    chunk = cands[0]
-                else:
-                    chunk = max(x for x in cands if x <= 30)
+                chunk = so3conv.auto_anchor_chunk(na, self.dim_in,
+                                                  self.n_neighbor)
             while na % chunk != 0:
                 chunk -= 1
             inter_idx, xyz, feats, sample_idx = so3conv.inter_so3conv_fused(

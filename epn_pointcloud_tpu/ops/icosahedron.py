@@ -296,6 +296,22 @@ def get_anchors(k: int = 60) -> np.ndarray:
     return select_anchors(get_anchors_full(), k)
 
 
+def anchor_subset_relabel_map(k: int) -> np.ndarray:
+    """[60] int32: nearest subset-anchor index (by rotation distance) for
+    each full-group anchor label.
+
+    The datasets emit rotation labels over the full 60-element group
+    (datasets/modelnet40.py R_label); at kanchor<60 the attention logits only
+    span the subset, and the reference's CE over out-of-range labels is
+    undefined (its CUDA F.cross_entropy would assert; ref loss.py:48-57).
+    We relabel into the subset by nearest rotation: argmax of
+    tr(R_full @ R_sub^T) == argmin of the rotation distance."""
+    full = get_anchors_full().astype(np.float64)
+    sub = select_anchors(full, k)
+    tr = np.einsum('aij,bij->ab', full, sub)
+    return np.argmax(tr, axis=1).astype(np.int32)
+
+
 # Vertex-direction anchor sets for the legacy ZPConv path; the reference loads
 # sphere{12,42,92,162}.ply and keeps unit-norm points (spconv/functional.py:20-39).
 # We generate them by subdividing the icosahedron.

@@ -185,9 +185,12 @@ def ball_query(query: jnp.ndarray, support: jnp.ndarray, radius: float,
     int32 [b,m,n_sample].
 
     Matches the reference kernel's order semantics (first hits win, not
-    nearest hits). Deviation: the reference leaves the final slot 0 when
-    exactly n_sample-1 hits are found (an off-by-one in its repeat fill,
-    grouping_cuda_kernel.cu:100); we fill it periodically instead.
+    nearest hits). Deviation under the 'native' convention: the reference
+    leaves the final slot 0 when exactly n_sample-1 hits are found (an
+    off-by-one in its repeat fill, grouping_cuda_kernel.cu:99-104); we fill
+    it periodically instead. Under the 'reference' convention (compat mode)
+    the quirk is replicated bit-exactly so imported reference weights see
+    identical neighborhoods.
     """
     b, m, _ = query.shape
     n = support.shape[1]
@@ -248,7 +251,26 @@ def ball_query(query: jnp.ndarray, support: jnp.ndarray, radius: float,
     cnt_safe = jnp.maximum(cnt, 1)[..., None]
     src = jnp.where(s < cnt[..., None], s, s % cnt_safe)   # [b, m, n_sample]
     eq = src[..., :, None] == s[..., None, :]              # [b, m, k, k]
-    return jnp.where(eq, out[..., None, :], 0).sum(-1)
+    filled = jnp.where(eq, out[..., None, :], 0).sum(-1)
+    from . import icosahedron
+    if icosahedron.get_convention() == 'reference':
+        # replicate the reference kernel's zero-init quirk: the repeat fill
+        # only runs when cnt < n_sample-1, so with exactly n_sample-1 hits
+        # the last slot keeps its zero init (grouping_cuda_kernel.cu:99-104)
+        quirk = (cnt[..., None] == n_sample - 1) & (s == n_sample - 1)
+        filled = jnp.where(quirk, 0, filled)
+    return filled
+
+
+def _clear_ball_query_cache():
+    """ball_query traces the anchor convention into its jit cache; flush on
+    icosahedron.set_convention so compat mode takes effect immediately."""
+    ball_query.clear_cache()
+
+
+from . import icosahedron  # noqa: E402  (import cycle-safe: leaf module)
+
+icosahedron.register_convention_listener(_clear_ball_query_cache)
 
 
 # ---------------------------------------------------------------------------

@@ -207,6 +207,39 @@ def unpack_feats(feats: Optional[jnp.ndarray], na: int) -> Optional[jnp.ndarray]
     return feats
 
 
+def auto_anchor_chunk(na: int, dim_in: int, n_neighbor: int) -> int:
+    """Anchor-chunk auto-pick for the fused inter conv (measured on the
+    flagship sweep): small chunks buy a bigger point tile for narrow layers;
+    wide layers prefer large chunks (fewer table re-streams)."""
+    cands = [x for x in (10, 12, 15, 20, 30, na)
+             if na % x == 0 and (x * dim_in) % 128 == 0]
+    if not cands:
+        chunk = na
+    elif dim_in <= 64 and n_neighbor <= 16:
+        chunk = cands[0]
+    else:
+        chunk = max(x for x in cands if x <= 30)
+    while na % chunk != 0:
+        chunk -= 1
+    return chunk
+
+
+def fused_layer_gate(p1: int, stride: int, n_neighbor: int, n_kernel: int,
+                     c_in: int, na: int, chunk: int) -> bool:
+    """Single-device Pallas dispatch gate for one fused inter-conv layer —
+    the exact decision inter_so3conv_fused makes, factored out so tests can
+    assert every production layer shape actually takes the kernel path
+    (a silent fall-back to XLA costs 5-10x; see tests/test_pallas_gates.py)."""
+    from .pallas import inter_conv as plic
+    if not plic.supported(n_neighbor, c_in):
+        return False
+    p2 = -(-p1 // stride)
+    nt = plic.plan(n_neighbor, n_kernel)[0]
+    onehot = sampling._onehot_profitable(p1 + 1, p2 * nt, na * c_in + 8)
+    return plic.layer_fusable(p2, n_neighbor, n_kernel, c_in, na, chunk,
+                              onehot)
+
+
 def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                         n_neighbor: int, anchors: jnp.ndarray,
                         kernels: jnp.ndarray, radius: float, sigma: float,
@@ -249,14 +282,9 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
     use_pl = use_pl and plic.supported(n_neighbor, c_in)
     fusable_global = False
     if use_pl:
-        p1 = xyz.shape[1]
-        p2_pre = -(-p1 // stride)
-        nt_pre = plic.plan(n_neighbor, kernels.shape[0])[0]
-        onehot_pre = sampling._onehot_profitable(
-            p1 + 1, p2_pre * nt_pre, na * c_in + 8)
-        fusable_global = plic.layer_fusable(
-            p2_pre, n_neighbor, kernels.shape[0], c_in, na, chunk,
-            onehot_pre)
+        fusable_global = fused_layer_gate(
+            xyz.shape[1], stride, n_neighbor, kernels.shape[0], c_in, na,
+            chunk)
 
     # Multi-device: Pallas calls are opaque to GSPMD, so under a bare pjit
     # they would force replication. With an installed global ('data',

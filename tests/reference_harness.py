@@ -255,7 +255,9 @@ def build_ref_opt(argv=None, **overrides):
     install_stubs()
     old_argv = sys.argv
     try:
-        sys.argv = ['ref', '-d', '/tmp/nonexistent'] + list(argv or [])
+        # the main HierarchyArgmentParser needs a subcommand token; each
+        # subparser then re-parses the full argv with parse_known_args
+        sys.argv = ['ref', 'experiment', '-d', '/tmp/nonexistent'] + list(argv or [])
         import importlib
         opts_mod = importlib.import_module('SPConvNets.options')
         opt = opts_mod.opt

@@ -113,6 +113,26 @@ def test_attention_ce_modes():
     assert float(l_sched) == float((2.0 + 1.0) * aux['r_loss'])
 
 
+def test_attention_ce_subset_relabeling():
+    """kanchor<60: full-group rotation labels are relabeled to the nearest
+    subset anchor (not zeroed) before the attention CE."""
+    remap = ico.anchor_subset_relabel_map(20)
+    assert remap.shape == (60,)
+    # in-subset anchors map to themselves (subset = anchors[::3])
+    np.testing.assert_array_equal(remap[::3], np.arange(20))
+    assert remap.min() >= 0 and remap.max() < 20
+
+    pred = jnp.asarray(RNG.randn(4, 10).astype(np.float32))
+    label = jnp.asarray(RNG.randint(0, 10, 4))
+    wts = jnp.asarray(RNG.randn(4, 20).astype(np.float32))
+    rlabel = jnp.asarray(np.array([1, 17, 43, 59]))  # incl. out-of-subset
+    _, aux = losses.attention_cross_entropy(pred, label, wts, rlabel)
+    # r_loss equals the CE against the remapped labels
+    expect, _ = losses.cross_entropy(wts, jnp.asarray(remap)[rlabel])
+    np.testing.assert_allclose(float(aux['r_loss']), float(expect), rtol=1e-6)
+    assert float(aux['r_loss']) > 0.0
+
+
 def test_triplet_equivariance_term():
     anchors = jnp.asarray(ico.get_anchors(60))
     b, c, na = 4, 6, 60

@@ -1,0 +1,199 @@
+"""Full-model numeric parity against the actual PyTorch reference.
+
+The SURVEY/BASELINE parity contract: class logits, relative-rotation
+predictions, and 3DMatch descriptors match the PyTorch reference to fp32
+tolerance through the same entry points (BASELINE.md "Rebuild targets").
+
+These tests import /root/reference on CPU torch (tests/reference_harness.py
+supplies exact stand-ins for trimesh/plyfile/vgtk.cuda.*), switch this
+framework into the reference-exact anchor convention
+(icosahedron.set_convention('reference')), import the reference model's
+state_dict through epn_pointcloud_tpu.compat, and assert output parity on
+shared weights and shared random inputs for all three live models:
+
+  * cls_so3net_pn  (SPConvNets/models/cls_so3net_pn.py:27-36)
+  * inv_so3net_pn  (SPConvNets/models/inv_so3net_pn.py:28-37)
+  * reg_so3net     (SPConvNets/models/reg_so3net.py:31-47)
+"""
+
+import sys
+import os
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import reference_harness as rh  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from epn_pointcloud_tpu import compat  # noqa: E402
+from epn_pointcloud_tpu.ops import icosahedron, kernel_points  # noqa: E402
+
+
+@pytest.fixture()
+def reference_mode():
+    icosahedron.set_convention('reference')
+    yield
+    icosahedron.set_convention('native')
+
+
+def _ball_points(rng, b, n):
+    """Uniform points in the unit ball (the ModelNet input contract)."""
+    v = rng.randn(b, n, 3).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    r = rng.rand(b, n, 1).astype(np.float32) ** (1.0 / 3.0)
+    return (v * r).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Convention validation: anchors / trace_idx / kernel points bit-match the
+# reference's own construction run through the harness
+# ---------------------------------------------------------------------------
+
+def test_reference_convention_bit_matches_reference(reference_mode):
+    rh.install_stubs()
+    import vgtk.so3conv.functional as L
+
+    ref_anchors = np.asarray(L.get_anchors(60))
+    np.testing.assert_allclose(icosahedron.get_anchors(60), ref_anchors,
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(icosahedron.get_intra_idx(),
+                                  np.asarray(L.get_intra_idx()))
+    assert icosahedron.get_identity_index() == 29
+    # anchor subsets use the reference's exact slicing (1-ulp anchor noise
+    # from f64-vs-f32 op ordering; identical index selection)
+    for k in (1, 20, 40):
+        np.testing.assert_allclose(
+            icosahedron.get_anchors(k), np.asarray(L.select_anchor(ref_anchors, k)),
+            rtol=0, atol=1e-6)
+    # kernel points: exact ply layouts under the reference scaling-op order
+    for ks in (1, 2, 3):
+        ref_kp = L.get_sphereical_kernel_points_from_ply(0.7 * 0.4, ks)
+        np.testing.assert_allclose(
+            kernel_points.get_spherical_kernel_points(0.7 * 0.4, ks),
+            np.asarray(ref_kp), rtol=0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# Full-model forward parity on shared weights
+# ---------------------------------------------------------------------------
+
+def _torch_seed_all(seed):
+    import torch
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+
+
+def _warm_running_stats(ref_model, x_t, n=2):
+    """Run a couple of train-mode forwards so BatchNorm running stats move
+    off their init (making the eval-mode parity check non-trivial)."""
+    import torch
+    ref_model.train()
+    with torch.no_grad():
+        for _ in range(n):
+            ref_model(x_t)
+    ref_model.eval()
+
+
+def _flax_vars_from(ref_model, model, example):
+    variables = jax.jit(
+        lambda: model.init({'params': jax.random.PRNGKey(0)}, example,
+                           train=False))()
+    return compat.import_state_dict(variables, ref_model.state_dict())
+
+
+def test_cls_model_parity(reference_mode):
+    import torch
+    rh.install_stubs()
+    _torch_seed_all(2913)
+    opt = rh.build_ref_opt()
+    opt.model.kanchor = 60
+    opt.model.flag = 'attention'
+
+    from SPConvNets.models import cls_so3net_pn as ref_cls
+    ref_model = ref_cls.build_model_from(opt, None)
+
+    x = _ball_points(np.random.RandomState(7), 1, 1024)
+    x_t = torch.from_numpy(x)
+    _warm_running_stats(ref_model, x_t)
+    with torch.no_grad():
+        ref_logits, ref_feat = ref_model(x_t)
+
+    from epn_pointcloud_tpu.models import cls_so3net_pn
+    model = cls_so3net_pn.build_model(opt)
+    xj = jnp.asarray(x)
+    new_vars = _flax_vars_from(ref_model, model, xj)
+    logits, feat = jax.jit(
+        lambda v, a: model.apply(v, a, train=False))(new_vars, xj)
+
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(feat).squeeze(),
+                               ref_feat.numpy().squeeze(),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_inv_model_parity(reference_mode):
+    import torch
+    rh.install_stubs()
+    _torch_seed_all(2913)
+    opt = rh.build_ref_opt()
+    opt.model.kanchor = 60
+
+    from SPConvNets.models import inv_so3net_pn as ref_inv
+    ref_model = ref_inv.build_model_from(opt, None)
+    ref_model.eval()  # all-InstanceNorm backbone: no running stats to warm
+
+    x = _ball_points(np.random.RandomState(11), 1, 1024)
+    x_t = torch.from_numpy(x)
+    with torch.no_grad():
+        ref_desc, ref_attn = ref_model(x_t)
+
+    from epn_pointcloud_tpu.models import inv_so3net_pn
+    model = inv_so3net_pn.build_model(opt)
+    xj = jnp.asarray(x)
+    new_vars = _flax_vars_from(ref_model, model, xj)
+    desc, attn = jax.jit(
+        lambda v, a: model.apply(v, a, train=False))(new_vars, xj)
+
+    np.testing.assert_allclose(np.asarray(desc), ref_desc.numpy(),
+                               rtol=1e-3, atol=2e-3)
+    # attn: ref [b, c, p, a] vs ours [b, p, a, c]
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(attn), (0, 3, 1, 2)), ref_attn.numpy(),
+        rtol=1e-3, atol=2e-3)
+
+
+def test_reg_model_parity(reference_mode):
+    import torch
+    rh.install_stubs()
+    _torch_seed_all(2913)
+    opt = rh.build_ref_opt()
+    opt.model.kanchor = 60
+
+    from SPConvNets.models import reg_so3net as ref_reg
+    ref_model = ref_reg.build_model_from(opt, None)
+    ref_model.eval()
+
+    rng = np.random.RandomState(13)
+    x = np.stack([_ball_points(rng, 1, 1024),
+                  _ball_points(rng, 1, 1024)], axis=1)  # [b, 2, p, 3]
+    x_t = torch.from_numpy(x)
+    with torch.no_grad():
+        ref_conf, ref_y = ref_model(x_t)
+
+    from epn_pointcloud_tpu.models import reg_so3net
+    model = reg_so3net.build_model(opt)
+    xj = jnp.asarray(x)
+    new_vars = _flax_vars_from(ref_model, model, xj)
+    conf, y = jax.jit(
+        lambda v, a: model.apply(v, a, train=False))(new_vars, xj)
+
+    np.testing.assert_allclose(np.asarray(conf), ref_conf.numpy(),
+                               rtol=1e-3, atol=2e-3)
+    # ref y is channels-first [nb, nr, na_tgt, na_src]; ours channels-last
+    np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 3, 1, 2)),
+                               ref_y.numpy(), rtol=1e-3, atol=2e-3)
