@@ -40,32 +40,53 @@ class Dataset:
 
 class DataLoader:
     """Synchronous batcher: shuffle (seeded), drop short final batches in
-    train mode like the reference step() does (trainer_modelnet.py:67-68)."""
+    train mode like the reference step() does (trainer_modelnet.py:67-68).
+
+    Multi-host SPMD: every process draws the SAME seeded global order, but
+    each loads only its `parallel.process_slice` of every global batch
+    (1/process_count of the work per host); the trainers assemble the
+    global array with `parallel.global_batch_from_local` (via shard_batch).
+    Short final batches are dropped under multi-host regardless of
+    drop_last — a replicated put of host-local data would be incorrect.
+    Replaces the reference's single-process nn.DataParallel input path
+    (ref: vgtk/app/trainer.py:153-160)."""
 
     def __init__(self, dataset: Dataset, batch_size: int, shuffle: bool,
-                 seed: int = 2913, drop_last: Optional[bool] = None):
+                 seed: int = 2913, drop_last: Optional[bool] = None,
+                 process_shard: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = shuffle if drop_last is None else drop_last
+        self.process_shard = process_shard
         self.rng = np.random.RandomState(seed)
         self.epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
-        if self.drop_last:
+        if self.drop_last or self._process_count() > 1:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def _process_count(self) -> int:
+        if not self.process_shard:
+            return 1
+        from ..parallel import distributed
+        return distributed.process_env()[0]
 
     def __iter__(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
         self.epoch += 1
+        pc = self._process_count()
         for s in range(0, len(order), self.batch_size):
             idx = order[s:s + self.batch_size]
-            if self.drop_last and len(idx) < self.batch_size:
+            if len(idx) < self.batch_size and (self.drop_last or pc > 1):
                 return
+            if pc > 1:
+                from ..parallel import distributed
+                idx = idx[distributed.process_slice(len(idx))]
             items = [self.dataset[i] for i in idx]
             yield {k: _stack([it[k] for it in items]) for k in items[0]}
 

@@ -62,10 +62,17 @@ def init_distributed(coordinator_address: Optional[str] = None,
     return 0
 
 
+def process_env() -> tuple:
+    """(process_count, process_index) — the single indirection point the
+    DataLoaders and tests use (monkeypatchable; avoids backend init at
+    import time)."""
+    return jax.process_count(), jax.process_index()
+
+
 def process_slice(n: int) -> slice:
     """This process's contiguous shard of a length-n global batch dimension
     (each host's DataLoader draws only these indices)."""
-    pc, pi = jax.process_count(), jax.process_index()
+    pc, pi = process_env()
     assert n % pc == 0, (n, pc)
     per = n // pc
     return slice(pi * per, (pi + 1) * per)

@@ -48,12 +48,27 @@ def shard_batch(batch, mesh: Mesh):
     Leaves whose leading axis does not divide the 'data' axis size (short
     final eval batches) are replicated instead — XLA still computes the
     right answer, just without the batch split for that step.
+
+    Multi-process: leaves are this host's `1/process_count` slice of the
+    global batch (the DataLoaders shard by `process_slice`); they are
+    assembled into globally batch-sharded arrays via
+    `jax.make_array_from_process_local_data`. Replicated puts of
+    host-local data are invalid there, so non-divisible leaves raise.
     """
     n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get('data', 1)
+    pc = jax.process_count()
 
     def put(x):
-        if x.ndim == 0 or x.shape[0] % max(n_data, 1) != 0:
+        if x.ndim == 0 or (x.shape[0] * pc) % max(n_data, 1) != 0:
+            if pc > 1:
+                raise ValueError(
+                    f'multi-host shard_batch needs batch-divisible leaves; '
+                    f'got local shape {getattr(x, "shape", ())} for data '
+                    f'axis {n_data} over {pc} processes')
             return jax.device_put(x, NamedSharding(mesh, P()))
+        if pc > 1:
+            from .distributed import global_batch_from_local
+            return global_batch_from_local(x, mesh)
         return jax.device_put(x, batch_sharding(mesh, x.ndim))
 
     return jax.tree_util.tree_map(put, batch)
