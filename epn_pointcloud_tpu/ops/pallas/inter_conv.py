@@ -631,9 +631,18 @@ def _fwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
                 fs[:, off:off + grp * tp, :] = blk
                 pend = []
     acc[:] = jnp.zeros_like(acc)
-    for k in range(kt):
+    # group kernel-point slabs so the learned GEMM's K dim is >= 256:
+    # per-slab K = C leaves the MXU K-stream half-empty for narrow layers
+    # (c=64 -> K=64), and the kt short-K passes are fill-dominated. A lane
+    # concat of kg slabs is one cheap VMEM copy.
+    kg = 1
+    while kg < kt and kg * c < 256 and kt % (kg * 2) == 0:
+        kg *= 2
+    for k0 in range(0, kt, kg):
+        lhs = (fs[k0] if kg == 1 else jnp.concatenate(
+            [fs[k0 + i] for i in range(kg)], axis=1))          # [AC*T, kg*C]
         acc[:] += jax.lax.dot_general(
-            fs[k], w2_ref[k * c:(k + 1) * c, :],
+            lhs, w2_ref[k0 * c:(k0 + kg) * c, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec)                                    # [AC*T, D]
@@ -731,13 +740,21 @@ def _bwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
     # dacc [AC*T, D]: dout rows regrouped anchor-major
     for a in range(ac):
         dacc[a * t:(a + 1) * t, :] = dout_ref[0, :, a * d:(a + 1) * d]
-    # dF slabs [K~, AC*T, C]: dF_k = dout W_k^T, M = AC*T
-    for k in range(kt):
-        dFs[k] = jax.lax.dot_general(
-            dacc[:], w2_ref[k * c:(k + 1) * c, :],
+    # dF slabs [K~, AC*T, C]: dF_k = dout W_k^T, M = AC*T. Slabs grouped so
+    # the GEMM N dim is >= 256 (single-slab N = C starves the MXU for
+    # narrow layers); misaligned static lane reads of the grouped output
+    # lower fine.
+    kg = 1
+    while kg < kt and kg * c < 256 and kt % (kg * 2) == 0:
+        kg *= 2
+    for k0 in range(0, kt, kg):
+        blk = jax.lax.dot_general(
+            dacc[:], w2_ref[k0 * c:(k0 + kg) * c, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=prec).astype(gdt)                        # [AC*T, C]
+            precision=prec).astype(gdt)                        # [AC*T, kg*C]
+        for i in range(kg):
+            dFs[k0 + i] = blk[:, i * c:(i + 1) * c]
     for a in range(ac):
         d2_all = jax.lax.dot_general(
             rk8k_ref[a], gx8_ref[0],
@@ -778,13 +795,16 @@ def _bwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
         s_onehot, dgs[:], dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=prec)                                        # [Q~, AC*C]
-    # dW2 += f^T dOut (contract the AC*T rows)
-    for k in range(kt):
-        dw2_ref[k * c:(k + 1) * c, :] += jax.lax.dot_general(
-            fs[k], dacc[:].astype(gdt),
+    # dW2 += f^T dOut (contract the AC*T rows); slabs grouped like the
+    # forward so M = kg*C fills MXU tiles instead of kt quarter-tiles
+    for k0 in range(0, kt, kg):
+        lhs = (fs[k0] if kg == 1 else jnp.concatenate(
+            [fs[k0 + i] for i in range(kg)], axis=1))          # [AC*T, kg*C]
+        dw2_ref[k0 * c:(k0 + kg) * c, :] += jax.lax.dot_general(
+            lhs, dacc[:].astype(gdt),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=prec)                                    # [C, D] f32
+            precision=prec)                                    # [kg*C, D] f32
 
 
 def _call_gather_w_bwd(gx8, idx3, tab, rk8k, w2, dout, sigma, tp, kt, nt,
