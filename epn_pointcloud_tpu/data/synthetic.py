@@ -38,7 +38,62 @@ def make_shape(rng: np.random.RandomState, n_points: int,
     else:                    # two clusters
         pc = 0.3 * rng.randn(n_points, 3)
         pc[n_points // 2:, 0] += 1.5
+    if kind >= 5:
+        # categories beyond the 5 base families get deterministic per-kind
+        # shape parameters (anisotropic scaling + a second displaced
+        # component), so any n_cats stays mutually distinguishable — and,
+        # under the rotated test protocol, only via rotation-invariant
+        # features (the anisotropy axes are randomized per sample by testR)
+        prng = np.random.RandomState(1000 + kind)
+        scale = 0.4 + 1.2 * prng.rand(3)
+        pc = pc * scale[None, :]
+        n2 = n_points // 3
+        sub = make_shape(np.random.RandomState(rng.randint(1 << 31)),
+                         n2, (kind // 5 + kind) % 5)
+        off = prng.randn(3) * 1.2
+        pc[:n2] = 0.5 * sub + off[None, :]
     pc = pc + 0.02 * rng.randn(n_points, 3)
+    return pc.astype(np.float32)
+
+
+def make_hard_shape(rng: np.random.RandomState, n_points: int,
+                    kind: int) -> np.ndarray:
+    """Statistically hard class generator for the kanchor accuracy sweep.
+
+    Unlike make_shape (one fixed geometry per class — trivially memorizable,
+    saturates at 100% testR accuracy), each class here is a *distribution*:
+    deterministic per-class parameters (two base families, mixture ratio,
+    anisotropic scales, component offset) plus substantial per-SAMPLE jitter
+    of those parameters, so neighbouring classes overlap and accuracy is
+    bounded by rotation-invariant feature quality rather than memorization.
+    All class signal is rotation-invariant (anisotropy spectra, component
+    proportions/distances); the testR protocol rotates samples uniformly.
+    """
+    prng = np.random.RandomState(7000 + kind)
+    f1 = int(prng.randint(0, 5))
+    f2 = int((f1 + 1 + prng.randint(0, 4)) % 5)
+    mix = 0.25 + 0.3 * prng.rand()          # fraction of points in part 2
+    scale1 = 0.55 + 0.9 * prng.rand(3)      # anisotropy of part 1
+    scale2 = 0.55 + 0.9 * prng.rand(3)
+    size2 = 0.35 + 0.4 * prng.rand()        # relative size of part 2
+    dist = 0.8 + 1.0 * prng.rand()          # offset distance of part 2
+
+    # per-sample parameter jitter (the source of intra-class variation)
+    j = lambda x, s: x * np.exp(s * rng.randn(*np.shape(x)))
+    mix_s = float(np.clip(mix + 0.06 * rng.randn(), 0.1, 0.7))
+    scale1_s, scale2_s = j(scale1, 0.12), j(scale2, 0.12)
+    size2_s, dist_s = j(size2, 0.12), j(dist, 0.10)
+
+    n2 = int(n_points * mix_s)
+    n1 = n_points - n2
+    p1 = make_shape(rng, n1, f1)[:, :] * scale1_s[None, :]
+    p2 = make_shape(rng, n2, f2)[:, :] * scale2_s[None, :] * size2_s
+    # offset direction is random per sample (rotation-invariant distance)
+    d = rng.randn(3)
+    d /= np.linalg.norm(d)
+    p2 = p2 + (dist_s * d)[None, :]
+    pc = np.concatenate([p1, p2], 0)
+    pc = pc + 0.03 * rng.randn(n_points, 3)
     return pc.astype(np.float32)
 
 
@@ -65,9 +120,11 @@ def make_asym_shape(rng: np.random.RandomState, n_points: int) -> np.ndarray:
 def make_modelnet_tree(root: str, n_cats: int = 4, n_train: int = 8,
                        n_test: int = 4, n_points: int = 2048,
                        seed: int = 0, splits=('train', 'test', 'testR'),
-                       airplane_asym: bool = False):
+                       airplane_asym: bool = False, hard: bool = False):
     """Create a synthetic ModelNet-like .mat tree. Category 0 is named
-    'airplane' so the alignment loader finds it."""
+    'airplane' so the alignment loader finds it. hard=True uses the
+    statistically-hard per-class distributions (make_hard_shape) instead of
+    the fixed-geometry classes."""
     rng = np.random.RandomState(seed)
     names = ['airplane'] + [f'cat{i:02d}' for i in range(1, n_cats)]
     for ci, cat in enumerate(names):
@@ -78,6 +135,7 @@ def make_modelnet_tree(root: str, n_cats: int = 4, n_train: int = 8,
             for i in range(n):
                 pc = (make_asym_shape(rng, n_points)
                       if (ci == 0 and airplane_asym)
+                      else make_hard_shape(rng, n_points, ci) if hard
                       else make_shape(rng, n_points, ci))
                 data = {'pc': pc, 'label': np.array([[ci]]),
                         'name': f'{cat}_{split}_{i:04d}'}
