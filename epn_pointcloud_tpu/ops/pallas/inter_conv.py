@@ -27,12 +27,16 @@ transposes, concats, or lane reshapes anywhere: fold the squared norms AND
 the block-diagonal mask into a 16-vector inner product
 
     gx16 = [x, y, z, |gx|^2, 1, 0,0,0, onehot(t')]  (lanes = points*nbrs)
-    rk16 = [-2 R_a kappa, 1, |kappa|^2, 0,0,0, BIG*(j != t)]  (TP-tiled rows)
-    d2'[(t,k), (t',n)] = rk16[(t,k)] . gx16[(t',n)]
-                       = d2 + BIG * [t != t']
+    rk16 = [(2/s) R_a kappa, -1/s, 1 - |kappa|^2/s, 0,0,0, -BIG*(j != t)]
+    w'[(t,k), (t',n)] = rk16[(t,k)] . gx16[(t',n)]
+                      = 1 - d2/sigma - BIG * [t != t']
 
-so relu(1 - d2'/sigma) is the masked BD operand directly — the kernel's
-inner loop is one dot, one relu, one dot.
+so max(w', 0) is the masked BD operand directly — the kernel's inner loop
+is one dot, one max+cast, one dot. The whole 1 - d2/sigma affine is folded
+into the rk16 operand because the epilogue runs on the VPU over the full
+inflated [R, S] operand: at 4 VPU ops/element it measured comparable to the
+kernels' entire MXU time. (The dot keeps an f32 accumulator/output — Mosaic
+rejects narrower matmul accs — so a cast to the compute dtype remains.)
 
 Padding: K -> K~ (multiple of 8; MXU pass count is unchanged and the pad
 fraction is pure overhead downstream) with sentinel rows => d2 = BIG => w=0;
@@ -118,28 +122,35 @@ def layer_fusable(p2: int, n_neighbor: int, k: int, c_in: int, na: int,
     return (chunk * c_in) % 128 == 0 or (chunk == na and onehot)
 
 
-def make_rk8(rk: jnp.ndarray, k2: jnp.ndarray, tp: int, kt: int) -> jnp.ndarray:
+def make_rk8(rk: jnp.ndarray, k2: jnp.ndarray, tp: int, kt: int,
+             sigma: float) -> jnp.ndarray:
     """[AC, K, 3] rotated kernels + [K] squared norms -> [AC, 16, TP*K~]
-    pre-tiled distance+mask-fold operand (see module docstring)."""
+    pre-tiled affine+mask-fold operand (see module docstring).
+
+    The whole affine w' = 1 - d2/sigma is folded into the operand (scale by
+    -1/sigma, bake 1 - |kappa|^2/sigma into the constant lane, mask rows at
+    -BIG), so the kernel epilogue is a single max(x, 0) — the previous
+    relu(1 - d2/sigma) epilogue was ~4 VPU ops over the full inflated
+    [R, S] BD operand and measured comparable to the kernels' MXU time."""
     import numpy as np
     ac, k, _ = rk.shape
+    inv_s = 1.0 / float(sigma)
     base = jnp.concatenate([
-        -2.0 * rk,
-        jnp.ones((ac, k, 1), rk.dtype),
-        jnp.broadcast_to(k2.reshape(1, k, 1), (ac, k, 1)),
+        (2.0 * inv_s) * rk,
+        jnp.full((ac, k, 1), -inv_s, rk.dtype),
+        jnp.broadcast_to(1.0 - inv_s * k2.reshape(1, k, 1), (ac, k, 1)),
         jnp.zeros((ac, k, 3), rk.dtype),
     ], axis=-1)                                            # [AC, K, 8]
     if kt > k:
-        # sentinel: d2 = gx2 + BIG for every neighbor (incl. pad rows, whose
-        # gx2 slot is itself BIG) => w = 0 everywhere on pad kernel rows
-        pad = (jnp.zeros((ac, kt - k, 8), rk.dtype)
-               .at[:, :, 3].set(1.0).at[:, :, 4].set(_BIG))
+        # sentinel: w' = -BIG on pad kernel rows (pad neighbor rows land
+        # even lower: their gx2 slot is BIG and scales by -1/sigma)
+        pad = jnp.zeros((ac, kt - k, 8), rk.dtype).at[:, :, 4].set(-_BIG)
         base = jnp.concatenate([base, pad], axis=1)        # [AC, K~, 8]
     tiled = jnp.tile(base, (1, tp, 1))                     # [AC, TP*K~, 8]
-    # mask fold: component 8+j of row (t, k) is BIG for j != t, so the dot
-    # with gx16's onehot(t') adds BIG exactly off the block diagonal
+    # mask fold: component 8+j of row (t, k) is -BIG for j != t, so the dot
+    # with gx16's onehot(t') lands below 0 exactly off the block diagonal
     t_of_row = np.repeat(np.arange(tp), kt)                # [TP*K~]
-    mrows = _BIG * (np.arange(8)[None, :] != t_of_row[:, None])
+    mrows = -_BIG * (np.arange(8)[None, :] != t_of_row[:, None])
     mrows = mrows * (np.arange(8)[None, :] < tp)           # zero unused slots
     mask_fold = jnp.broadcast_to(
         jnp.asarray(mrows, rk.dtype)[None], (ac, tp * kt, 8))
@@ -185,18 +196,19 @@ def _conv_body(gx8, g_of, rk8_ref, out_ref, *, sigma, tp, kt, nt, n_sub,
     block-diagonal GEMM per subtile. `g_of(a)` yields the [T*N~, C]
     neighbor-major feature block for anchor a."""
     s = tp * nt
-    inv_sigma = jnp.float32(1.0 / sigma)
     prec = _precision(gdt)
     for a in range(ac):
-        # one wide K=16 dot per anchor: masked d2 for every subtile at once
-        d2_all = jax.lax.dot_general(
+        # one wide K=16 dot per anchor: masked affine w' = 1 - d2/sigma for
+        # every subtile at once (fold baked into rk8; see make_rk8). The dot
+        # emits the compute dtype directly, so the epilogue is ONE max.
+        wp_all = jax.lax.dot_general(
             rk8_ref[a], gx8, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec)                                    # [R, T*N~]
         g_a = g_of(a)                                          # [T*N~, C]
         for st in range(n_sub):
-            d2 = d2_all[:, st * s:(st + 1) * s]                # [R, S]
-            bd = jax.nn.relu(1.0 - d2 * inv_sigma).astype(gdt)
+            wp = wp_all[:, st * s:(st + 1) * s]                # [R, S]
+            bd = jnp.maximum(wp, 0.0).astype(gdt)
             g_sub = g_a[st * s:(st + 1) * s, :]
             f = jax.lax.dot_general(
                 bd, g_sub, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -243,18 +255,17 @@ def _bwd_kernel(gx8_ref, df_ref, rk8_ref, dg_ref, *, sigma, tp, kt, nt,
                 n_sub, ac, c):
     s = tp * nt
     r = tp * kt
-    inv_sigma = jnp.float32(1.0 / sigma)
     gdt = dg_ref.dtype
     prec = _precision(gdt)
     gx8 = gx8_ref[0]                                           # [16, T*N~]
     for a in range(ac):
-        d2t_all = jax.lax.dot_general(
+        wpt_all = jax.lax.dot_general(
             gx8, rk8_ref[a], dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec)                                    # [T*N~, R]
         for st in range(n_sub):
-            d2t = d2t_all[st * s:(st + 1) * s, :]              # [S, R]
-            bdt = jax.nn.relu(1.0 - d2t * inv_sigma).astype(gdt)
+            wpt = wpt_all[st * s:(st + 1) * s, :]              # [S, R]
+            bdt = jnp.maximum(wpt, 0.0).astype(gdt)
             df_sub = df_ref[0, a, st * tp:(st + 1) * tp]       # [TP, K~, C]
             df2 = df_sub.reshape(r, c).astype(gdt)
             dg = jax.lax.dot_general(
@@ -508,26 +519,26 @@ fused_gather_neighbor_conv.defvjp(_fgnc_fwd, _fgnc_bwd)
 
 
 def make_rk8_kmajor(rk: jnp.ndarray, k2: jnp.ndarray, tp: int,
-                    kt: int) -> jnp.ndarray:
+                    kt: int, sigma: float) -> jnp.ndarray:
     """make_rk8 with rows ordered (k, t') instead of (t', k): row r = k*TP+t'.
 
     The BD product's rows inherit this order, so f[k*TP:(k+1)*TP] is kernel
     slot k's [TP, C] block — sublane-sliceable for the in-kernel learned
-    GEMM."""
+    GEMM. Affine fold as in make_rk8."""
     ac, k, _ = rk.shape
+    inv_s = 1.0 / float(sigma)
     base = jnp.concatenate([
-        -2.0 * rk,
-        jnp.ones((ac, k, 1), rk.dtype),
-        jnp.broadcast_to(k2.reshape(1, k, 1), (ac, k, 1)),
+        (2.0 * inv_s) * rk,
+        jnp.full((ac, k, 1), -inv_s, rk.dtype),
+        jnp.broadcast_to(1.0 - inv_s * k2.reshape(1, k, 1), (ac, k, 1)),
         jnp.zeros((ac, k, 3), rk.dtype),
     ], axis=-1)                                            # [AC, K, 8]
     if kt > k:
-        pad = (jnp.zeros((ac, kt - k, 8), rk.dtype)
-               .at[:, :, 3].set(1.0).at[:, :, 4].set(_BIG))
+        pad = jnp.zeros((ac, kt - k, 8), rk.dtype).at[:, :, 4].set(-_BIG)
         base = jnp.concatenate([base, pad], axis=1)        # [AC, K~, 8]
     tiled = jnp.repeat(base, tp, axis=1)                   # rows (k, t')
     t_of_row = np.tile(np.arange(tp), kt)                  # [K~*TP]
-    mrows = _BIG * (np.arange(8)[None, :] != t_of_row[:, None])
+    mrows = -_BIG * (np.arange(8)[None, :] != t_of_row[:, None])
     mrows = mrows * (np.arange(8)[None, :] < tp)
     mask_fold = jnp.broadcast_to(
         jnp.asarray(mrows, rk.dtype)[None], (ac, kt * tp, 8))
@@ -608,17 +619,16 @@ def _fwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
     s = tp * nt
     t = n_sub * tp
     grp = max(1, 8 // tp)
-    inv_sigma = jnp.float32(1.0 / sigma)
     for a in range(ac):
-        d2_all = jax.lax.dot_general(
+        wp_all = jax.lax.dot_general(
             rk8k_ref[a], gx8_ref[0],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec)                                    # [R, T*N~]
         pend = []
         for st in range(n_sub):
-            d2 = d2_all[:, st * s:(st + 1) * s]                # [R, S]
-            bd = jax.nn.relu(1.0 - d2 * inv_sigma).astype(gdt)
+            wp = wp_all[:, st * s:(st + 1) * s]                # [R, S]
+            bd = jnp.maximum(wp, 0.0).astype(gdt)
             g_sub = g_all[st * s:(st + 1) * s, a * c:(a + 1) * c]
             f = jax.lax.dot_general(
                 bd, g_sub, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -736,7 +746,6 @@ def _bwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
     s = tp * nt
     t = n_sub * tp
     grp = max(1, 8 // tp)
-    inv_sigma = jnp.float32(1.0 / sigma)
     # dacc [AC*T, D]: dout rows regrouped anchor-major
     for a in range(ac):
         dacc[a * t:(a + 1) * t, :] = dout_ref[0, :, a * d:(a + 1) * d]
@@ -756,15 +765,15 @@ def _bwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
         for i in range(kg):
             dFs[k0 + i] = blk[:, i * c:(i + 1) * c]
     for a in range(ac):
-        d2_all = jax.lax.dot_general(
+        wp_all = jax.lax.dot_general(
             rk8k_ref[a], gx8_ref[0],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec)                                    # [R, T*N~]
         pend = []
         for st in range(n_sub):
-            d2 = d2_all[:, st * s:(st + 1) * s]                # [R, S]
-            bd = jax.nn.relu(1.0 - d2 * inv_sigma).astype(gdt)
+            wp = wp_all[:, st * s:(st + 1) * s]                # [R, S]
+            bd = jnp.maximum(wp, 0.0).astype(gdt)
             # recompute f (k-major) for dW2
             g_sub = g_all[st * s:(st + 1) * s, a * c:(a + 1) * c]
             f = jax.lax.dot_general(

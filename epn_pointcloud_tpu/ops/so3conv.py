@@ -418,8 +418,8 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
             constant_values=shadow_row)
         W_pad = jnp.pad(W, ((0, kt - W.shape[0]), (0, 0), (0, 0)))
         rk_all = jnp.einsum('aij,kj->aki', anchors, kernels)    # [na,k,3]
-        rk8 = plic.make_rk8(rk_all, k2, tp, kt)
-        rk8k = plic.make_rk8_kmajor(rk_all, k2, tp, kt)
+        rk8 = plic.make_rk8(rk_all, k2, tp, kt, float(sigma))
+        rk8k = plic.make_rk8_kmajor(rk_all, k2, tp, kt, float(sigma))
 
         support_pad = sampling.add_shadow_point(xyz)            # [b, q, 3]
         use_onehot = sampling._onehot_profitable(q, p2 * nt, na_l * c_in + 8)

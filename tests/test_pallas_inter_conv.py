@@ -33,7 +33,7 @@ def test_kernel_vs_oracle(B, P, N, AC, K, C):
     nt, tp, kt, _ = ic.plan(N, K)
     G_pad = jnp.pad(G, ((0, 0), (0, 0), (0, 0), (0, nt - N), (0, 0)))
     gx8 = ic.make_gx8(gx, nt)
-    rk8 = ic.make_rk8(rk, k2, tp, kt)
+    rk8 = ic.make_rk8(rk, k2, tp, kt, sigma)
     # neighbor-major flat (anchor, channel) lanes
     Gf = jnp.transpose(G_pad, (0, 2, 3, 1, 4)).reshape(B, P * nt, AC * C)
 
@@ -149,7 +149,7 @@ def test_gather_fused_kernel_vs_oracle(B, P, N, AC, K, C, Q):
     sigma = 0.1
     nt, tp, kt, _ = ic.plan(N, K)
     gx8 = ic.make_gx8(gx, nt)
-    rk8 = ic.make_rk8(rk, k2, tp, kt)
+    rk8 = ic.make_rk8(rk, k2, tp, kt, sigma)
 
     qp = -(-Q // 8) * 8
     tabp = jnp.pad(tab, ((0, 0), (0, qp - Q), (0, 0)))
@@ -251,8 +251,8 @@ def test_gather_conv_w_kernel_vs_oracle(B, P, N, AC, K, C, D, Q):
     sigma = 0.1
     nt, tp, kt, _ = ic.plan(N, K)
     gx8 = ic.make_gx8(gx, nt)
-    rk8t = ic.make_rk8(rk, k2, tp, kt)
-    rk8k = ic.make_rk8_kmajor(rk, k2, tp, kt)
+    rk8t = ic.make_rk8(rk, k2, tp, kt, sigma)
+    rk8k = ic.make_rk8_kmajor(rk, k2, tp, kt, sigma)
     W = jnp.asarray(rng.randn(kt, C, D).astype(np.float32) * 0.1)
     w2 = W.reshape(kt * C, D)
 
