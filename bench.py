@@ -217,22 +217,25 @@ def bench_train_e2e(batch=12, iters=30):
                          'model.kanchor': 60, 'model.flag': 'attention',
                          'model.model': 'cls_so3net_pn',
                          'compute_dtype': 'bf16', 'num_iterations': 5,
+                         'steps_per_dispatch': 8,
                          'experiment_id': 'bench_e2e'})
     opt.batch_size = batch
     trainer = TrainerModelNet(opt)
-    for _ in range(4):                        # compile + warm the pipeline
+    for _ in range(2):                        # compile + warm the pipeline
         trainer.step()
     jax.block_until_ready(trainer.state.params)
     t0 = time.perf_counter()
-    for i in range(iters):
+    done = 0
+    while done < iters:
         trainer.timer.set_point('train_iter')
-        trainer.step()
+        consumed = trainer.step() or 1
         trainer.summary.update(
-            {'Time': trainer.timer.reset_point('train_iter')})
-        if i % 10 == 0:
-            trainer._print_running_stats(f'bench iter {i}')
+            {'Time': trainer.timer.reset_point('train_iter') / consumed})
+        if done % 12 == 0:
+            trainer._print_running_stats(f'bench iter {done}')
+        done += consumed
     jax.block_until_ready(trainer.state.params)
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / done
     return batch / dt, dt
 
 

@@ -92,6 +92,12 @@ def build_parser() -> HierarchyArgumentParser:
     # devices along the mesh's 'anchor' axis (anchor-axis tensor
     # parallelism); the rest go to the 'data' axis
     train.add_argument('--mesh-anchor', type=int, default=1)
+    # TPU-native extension: optimizer steps per device dispatch. >1 stacks
+    # that many batches and lax.scans the train step over them in ONE jitted
+    # call — on a remote-tunnel backend the per-dispatch host cost (~10 ms)
+    # otherwise serializes against device compute. Logs/metrics keep
+    # per-step granularity (the scan emits per-step scalars).
+    train.add_argument('--steps-per-dispatch', type=int, default=1)
 
     lr = parser.add_parser('train_lr')
     lr.add_argument('-lr', '--init-lr', type=float, default=1e-3)

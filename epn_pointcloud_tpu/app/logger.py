@@ -6,6 +6,8 @@ import logging
 import sys
 import time
 
+import numpy as np
+
 
 class Logger:
     """python-logging to stdout + optional file, '#ts# [Scope] msg' format
@@ -82,31 +84,41 @@ class Summary:
         # (~25 ms) even when the value is ready, so per-scalar float() here
         # would cost flush_len * n_channels round trips
         device_vals = []
-        slots = []                       # (stats_idx, key) per device scalar
+        slots = []              # (stats_idx, key, n_elems) per device value
         for i, stats in enumerate(pending):
             for k, v in stats.items():
                 if hasattr(v, 'device') or hasattr(v, 'sharding'):
-                    slots.append((i, k))
+                    n = int(np.prod(v.shape)) if getattr(v, 'shape', ()) else 1
+                    slots.append((i, k, n))
                     device_vals.append(v)
         if device_vals:
             import jax.numpy as jnp
-            import numpy as np
-            host = np.asarray(jnp.stack(
-                [jnp.asarray(v, jnp.float32) for v in device_vals]))
-            for (i, k), hv in zip(slots, host):
-                pending[i][k] = float(hv)
+            host = np.asarray(jnp.concatenate(
+                [jnp.asarray(v, jnp.float32).reshape(-1)
+                 for v in device_vals]))
+            off = 0
+            for (i, k, n), _ in zip(slots, device_vals):
+                pending[i][k] = (float(host[off]) if n == 1
+                                 else host[off:off + n])
+                off += n
         for stats in pending:
             self._apply(stats)
 
     def _apply(self, stats):
+        # vector values (the multi-step dispatch path queues [n_steps]
+        # arrays per channel) apply as that many sequential EMA updates
         for k, v in stats.items():
-            v = float(v)
-            if self.counters[k] == 0:
-                self.running_stats[k] = v
-            else:
-                self.running_stats[k] = (self.momentum * self.running_stats[k]
-                                         + (1 - self.momentum) * v)
-            self.counters[k] += 1
+            vals = (np.ravel(v).astype(np.float64)
+                    if isinstance(v, np.ndarray) else (float(v),))
+            for x in vals:
+                x = float(x)
+                if self.counters[k] == 0:
+                    self.running_stats[k] = x
+                else:
+                    self.running_stats[k] = (
+                        self.momentum * self.running_stats[k]
+                        + (1 - self.momentum) * x)
+                self.counters[k] += 1
 
     def update(self, stats):
         # no flush: each channel's EMA depends only on its own value order,

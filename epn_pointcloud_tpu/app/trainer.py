@@ -98,20 +98,26 @@ class Trainer:
         self._train_mode = False
 
     def train_iter(self):
-        """The hot loop (ref: trainer.py:95-112)."""
-        for i in range(self.opt.num_iterations):
+        """The hot loop (ref: trainer.py:95-112). step() may consume more
+        than one optimizer step per call (multi-step dispatch); log/save
+        cadence fires on crossing each freq multiple."""
+        i, next_log = 0, 0
+        while i < self.opt.num_iterations:
             self.timer.set_point('train_iter')
-            self.step()
-            self.summary.update({'Time': self.timer.reset_point('train_iter')})
+            consumed = self.step() or 1
+            self.summary.update(
+                {'Time': self.timer.reset_point('train_iter') / consumed})
 
-            if i % self.opt.log_freq == 0:
+            if i >= next_log:
                 if hasattr(self, 'epoch_counter'):
                     step = f'Epoch {self.epoch_counter}, Iter {i}'
                 else:
                     step = f'Iter {i}'
                 self._print_running_stats(step)
-
-            if i > 0 and i % self.opt.save_freq == 0:
+                next_log += self.opt.log_freq
+            i += consumed
+            if (i // self.opt.save_freq) > ((i - consumed)
+                                            // self.opt.save_freq):
                 self._save_network(f'Iter{i}')
                 self.test()
 

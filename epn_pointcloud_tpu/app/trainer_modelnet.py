@@ -98,8 +98,7 @@ class TrainerModelNet(Trainer):
             loss, acc = losses.cross_entropy(pred, label)
             return loss, {'cls_loss': loss, 'acc': acc}
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, pc, label, rlabel, it, rng):
+        def train_body(state, pc, label, rlabel, it, rng):
             def loss_fn(params):
                 (pred, feat), mut = forward(state, params, pc, rlabel, True, rng)
                 loss, aux = compute_loss(pred, feat, label, rlabel, it)
@@ -120,6 +119,23 @@ class TrainerModelNet(Trainer):
                               'Acc': 100.0 * aux['acc']}
             return state, aux
 
+        train_step = partial(jax.jit, donate_argnums=(0,))(train_body)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step_n(state, pcs, labels, rlabels, it0, rngs):
+            """lax.scan the train step over stacked batches: one device
+            dispatch per `steps_per_dispatch` optimizer steps (per-dispatch
+            host cost through the tunnel backend otherwise serializes
+            against device compute). Emits per-step log scalars."""
+            def body(st, xs):
+                pc, label, rlabel, off, rng = xs
+                st, aux = train_body(st, pc, label, rlabel, it0 + off, rng)
+                return st, aux['log']
+            offs = jnp.arange(pcs.shape[0])
+            state, logs = jax.lax.scan(
+                body, state, (pcs, labels, rlabels, offs, rngs))
+            return state, logs
+
         @jax.jit
         def eval_step(state, pc, label, rlabel, rng):
             (pred, feat), _ = forward(state, state.params, pc, rlabel, False, rng)
@@ -129,6 +145,7 @@ class TrainerModelNet(Trainer):
             return aux
 
         self._train_step = train_step
+        self._train_step_n = train_step_n
         self._eval_step = eval_step
 
     def _next_batch(self):
@@ -141,9 +158,16 @@ class TrainerModelNet(Trainer):
             return next(self.dataset_iter)
 
     def step(self):
+        n = int(getattr(self.opt, 'steps_per_dispatch', 1) or 1)
+        if n > 1:
+            datas = [self._next_batch() for _ in range(n)]
+            self._optimize_n(datas)
+            self.iter_counter += n
+            return n
         data = self._next_batch()
         self._optimize(data)
         self.iter_counter += 1
+        return 1
 
     def _optimize(self, data):
         batch = shard_batch({'pc': data['pc'],
@@ -158,6 +182,24 @@ class TrainerModelNet(Trainer):
         # float() here would block the host on the step result and
         # serialize batch prep against device compute
         self.summary.update_async(aux['log'])
+
+    def _optimize_n(self, datas):
+        """Multi-step dispatch: stack n batches on [n, b, ...] and scan the
+        train step in one jitted call (see --steps-per-dispatch)."""
+        n = len(datas)
+        batch = shard_batch(
+            {'pc': np.stack([d['pc'] for d in datas]),
+             'label': np.stack([d['label'].reshape(-1) for d in datas]),
+             'R_label': np.stack([d['R_label'].reshape(-1)
+                                  for d in datas])},
+            self.mesh, batch_axis=1)
+        rngs = jax.random.split(self.next_rng(), n)
+        self.state, logs = self._train_step_n(
+            self.state, batch['pc'], batch['label'], batch['R_label'],
+            self.iter_counter, rngs)
+        # [n]-vector device stats: the Summary applies them as n sequential
+        # EMA updates at flush time (one batched transfer)
+        self.summary.update_async(logs)
 
     def test(self):
         self.eval()

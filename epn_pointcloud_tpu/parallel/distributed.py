@@ -78,18 +78,21 @@ def process_slice(n: int) -> slice:
     return slice(pi * per, (pi + 1) * per)
 
 
-def global_batch_from_local(local, mesh: Mesh):
+def global_batch_from_local(local, mesh: Mesh, batch_axis: int = 0):
     """Assemble a globally batch-sharded array from per-process local data.
 
-    `local` is this host's `[global_batch / process_count, ...]` numpy
-    slice; the result behaves like a global `[global_batch, ...]` array
-    sharded over the mesh's 'data' axis. Single-process: equivalent to
-    shard_batch's device_put.
+    `local` is this host's `[..., global_batch / process_count, ...]` numpy
+    slice (batch at `batch_axis`); the result behaves like a global array
+    with the batch axis sharded over the mesh's 'data' axis.
+    Single-process: equivalent to shard_batch's device_put.
     """
     local = np.asarray(local)
-    global_shape = (local.shape[0] * jax.process_count(),) + local.shape[1:]
-    sharding = NamedSharding(mesh, P('data', *([None] * (local.ndim - 1))))
+    global_shape = list(local.shape)
+    global_shape[batch_axis] *= jax.process_count()
+    spec = [None] * local.ndim
+    spec[batch_axis] = 'data'
+    sharding = NamedSharding(mesh, P(*spec))
     if jax.process_count() == 1:
         return jax.device_put(local, sharding)
     return jax.make_array_from_process_local_data(sharding, local,
-                                                  global_shape)
+                                                  tuple(global_shape))

@@ -37,17 +37,23 @@ def make_mesh(n_data: Optional[int] = None, n_anchor: int = 1,
     return Mesh(devs, ('data', 'anchor'))
 
 
-def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard axis 0 (batch) over 'data'; everything else replicated."""
-    return NamedSharding(mesh, P('data', *([None] * (ndim - 1))))
+def batch_sharding(mesh: Mesh, ndim: int,
+                   batch_axis: int = 0) -> NamedSharding:
+    """Shard `batch_axis` over 'data'; everything else replicated."""
+    spec = [None] * ndim
+    spec[batch_axis] = 'data'
+    return NamedSharding(mesh, P(*spec))
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Device-put a pytree of host arrays with batch axis sharded.
+def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
+    """Device-put a pytree of host arrays with the batch axis sharded.
 
-    Leaves whose leading axis does not divide the 'data' axis size (short
+    Leaves whose batch axis does not divide the 'data' axis size (short
     final eval batches) are replicated instead — XLA still computes the
     right answer, just without the batch split for that step.
+
+    `batch_axis=1` serves the multi-step dispatch path (leaves stacked
+    [n_steps, batch, ...]; the scan axis stays replicated).
 
     Multi-process: leaves are this host's `1/process_count` slice of the
     global batch (the DataLoaders shard by `process_slice`); they are
@@ -59,7 +65,8 @@ def shard_batch(batch, mesh: Mesh):
     pc = jax.process_count()
 
     def put(x):
-        if x.ndim == 0 or (x.shape[0] * pc) % max(n_data, 1) != 0:
+        if (x.ndim <= batch_axis
+                or (x.shape[batch_axis] * pc) % max(n_data, 1) != 0):
             if pc > 1:
                 raise ValueError(
                     f'multi-host shard_batch needs batch-divisible leaves; '
@@ -68,8 +75,8 @@ def shard_batch(batch, mesh: Mesh):
             return jax.device_put(x, NamedSharding(mesh, P()))
         if pc > 1:
             from .distributed import global_batch_from_local
-            return global_batch_from_local(x, mesh)
-        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+            return global_batch_from_local(x, mesh, batch_axis=batch_axis)
+        return jax.device_put(x, batch_sharding(mesh, x.ndim, batch_axis))
 
     return jax.tree_util.tree_map(put, batch)
 

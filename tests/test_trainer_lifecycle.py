@@ -90,3 +90,31 @@ def test_distributed_helpers_single_process():
     g = global_batch_from_local(x, mesh)
     assert g.shape == (8, 3)
     np.testing.assert_allclose(np.asarray(g), x)
+
+
+def test_multi_step_dispatch_matches_single(mn_root, tmp_path):
+    """--steps-per-dispatch=2 (scan over stacked batches) must produce the
+    same parameters as the per-step dispatch on the same data stream
+    (dropout off; the only rng use is dropout, so streams coincide)."""
+    import jax
+    from epn_pointcloud_tpu.app.trainer_modelnet import TrainerModelNet
+
+    opt1 = _make_opt(mn_root, tmp_path, num_iterations=4)
+    t1 = TrainerModelNet(opt1)
+    t1.train()
+    assert t1.iter_counter == 4
+
+    opt2 = _make_opt(mn_root, tmp_path, num_iterations=4,
+                     steps_per_dispatch=2)
+    t2 = TrainerModelNet(opt2)
+    t2.train()
+    assert t2.iter_counter == 4
+
+    leaves1 = jax.tree_util.tree_leaves(t1.state.params)
+    leaves2 = jax.tree_util.tree_leaves(t2.state.params)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    # EMA'd channels agree too (Summary applied the [n]-vector stats)
+    assert abs(t1.summary.get_item('Loss')
+               - t2.summary.get_item('Loss')) < 1e-3
