@@ -71,11 +71,53 @@ _BIG = 1e9
 # the 100 MB vmem_limit_bytes on each pallas_call.
 _VMEM_BUDGET = 10 * 1024 * 1024
 _BWD_BUDGET_MULT = 8
+# Lane width the learned-GEMM kernel-slab grouping targets (kg*c >= this):
+# slabs concat along lanes so the (k,c) contraction runs as few long-K GEMMs
+# instead of kt short-K passes. Swept on chip (scripts/sweep_kg.py):
+# 512 wins on b0l1 (18.78 -> 18.07 ms), flat elsewhere; 2048 no better.
+_KG_TARGET = 512
 
 
 def set_vmem_budget(nbytes: int):
     global _VMEM_BUDGET
     _VMEM_BUDGET = int(nbytes)
+
+
+def set_kg_target(lanes: int):
+    global _KG_TARGET
+    _KG_TARGET = int(lanes)
+
+
+# Anchor-paired BD GEMMs in the W-fused kernels: for c < 128 the BD GEMM's
+# N dim (= c) half-fills the 128-lane MXU; stacking two anchors' BD rows
+# against their contiguous two-anchor lane block runs one [2R, S] x [S, 2C]
+# GEMM whose off-diagonal blocks are discarded — 2x the MACs at full lane
+# width and double the M fill. Measured net win on the c=64 flagship layers
+# (b0l1/b1l0, scripts/bench_layer.py).
+_PAIR = True
+
+
+def set_pair(on: bool):
+    global _PAIR
+    _PAIR = bool(on)
+
+
+def _pick_pair(ac: int, c: int) -> int:
+    return 2 if (_PAIR and c < 128 and ac % 2 == 0) else 1
+
+
+def _pair_rk8k(rk8k: jnp.ndarray, r: int) -> jnp.ndarray:
+    """[NA, 16, R] k-major operand -> [NA//2, 16, 2R] anchor-paired."""
+    na = rk8k.shape[0]
+    return (rk8k.reshape(na // 2, 2, 16, r).swapaxes(1, 2)
+            .reshape(na // 2, 16, 2 * r))
+
+
+def _pick_kg(kt: int, c: int) -> int:
+    kg = 1
+    while kg < kt and kg * c < _KG_TARGET and kt % (kg * 2) == 0:
+        kg *= 2
+    return kg
 
 
 def _round_up(x: int, m: int) -> int:
@@ -599,12 +641,15 @@ def gather_w_fusable(p2: int, qp: int, ac: int, c: int, d: int, kt: int,
 
 def _fwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
                          out_ref, fs, acc, *, sigma, tp, kt, nt, n_sub, ac,
-                         c, d):
+                         c, d, pair=1):
     """Gather + BD conv + learned GEMM, one grid step = (batch, point tile,
     anchor chunk). fs [K~, AC*T, C] collects the conv output k-major across
     the WHOLE anchor chunk (row a*T+t), so the learned contraction runs as
     just K~ GEMMs [AC*T, C] x [C, D] with a full MXU M dimension (AC*T
-    ~320) — per-anchor GEMMs with M = T ran at 12 TF/s measured."""
+    ~320) — per-anchor GEMMs with M = T ran at 12 TF/s measured.
+
+    pair=2: anchor-paired BD GEMMs (see _PAIR) — rk8k_ref is the paired
+    [AC//2, 16, 2R] operand, each BD GEMM covers two anchors at N = 2C."""
     gdt = tab_ref.dtype
     prec = _precision(gdt)
     idxv = idx_ref[0, 0]                                       # [T*N~] int32
@@ -618,36 +663,40 @@ def _fwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
         precision=prec).astype(gdt)                            # [T*N~, AC*C]
     s = tp * nt
     t = n_sub * tp
+    r = tp * kt
     grp = max(1, 8 // tp)
-    for a in range(ac):
+    for g in range(ac // pair):
         wp_all = jax.lax.dot_general(
-            rk8k_ref[a], gx8_ref[0],
+            rk8k_ref[g], gx8_ref[0],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=prec)                                    # [R, T*N~]
-        pend = []
+            precision=prec)                                 # [pair*R, T*N~]
+        pend = [[] for _ in range(pair)]
         for st in range(n_sub):
-            wp = wp_all[:, st * s:(st + 1) * s]                # [R, S]
+            wp = wp_all[:, st * s:(st + 1) * s]             # [pair*R, S]
             bd = jnp.maximum(wp, 0.0).astype(gdt)
-            g_sub = g_all[st * s:(st + 1) * s, a * c:(a + 1) * c]
-            f = jax.lax.dot_general(
+            g_sub = g_all[st * s:(st + 1) * s,
+                          g * pair * c:(g + 1) * pair * c]  # [S, pair*C]
+            f2 = jax.lax.dot_general(
                 bd, g_sub, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=prec).astype(gdt)                    # [R, C] k-major
-            pend.append(f.reshape(kt, tp, c))
-            if len(pend) == grp:
-                blk = pend[0] if grp == 1 else jnp.concatenate(pend, axis=1)
-                off = a * t + (st + 1 - grp) * tp
-                fs[:, off:off + grp * tp, :] = blk
-                pend = []
+                precision=prec).astype(gdt)        # [pair*R, pair*C] k-major
+            for i in range(pair):
+                a = g * pair + i
+                f = f2[i * r:(i + 1) * r, i * c:(i + 1) * c]
+                pend[i].append(f.reshape(kt, tp, c))
+                if len(pend[i]) == grp:
+                    blk = (pend[i][0] if grp == 1
+                           else jnp.concatenate(pend[i], axis=1))
+                    off = a * t + (st + 1 - grp) * tp
+                    fs[:, off:off + grp * tp, :] = blk
+                    pend[i] = []
     acc[:] = jnp.zeros_like(acc)
-    # group kernel-point slabs so the learned GEMM's K dim is >= 256:
+    # group kernel-point slabs so the learned GEMM's K dim is long:
     # per-slab K = C leaves the MXU K-stream half-empty for narrow layers
     # (c=64 -> K=64), and the kt short-K passes are fill-dominated. A lane
     # concat of kg slabs is one cheap VMEM copy.
-    kg = 1
-    while kg < kt and kg * c < 256 and kt % (kg * 2) == 0:
-        kg *= 2
+    kg = _pick_kg(kt, c)
     for k0 in range(0, kt, kg):
         lhs = (fs[k0] if kg == 1 else jnp.concatenate(
             [fs[k0 + i] for i in range(kg)], axis=1))          # [AC*T, kg*C]
@@ -673,6 +722,10 @@ def _call_gather_w(gx8, idx3, tab, rk8k, w2, sigma, tp, kt, nt, ac,
                                  jnp.dtype(gdt).itemsize)
     assert n_sub > 0, (p, tp, kt, nt, c, d, ac, qp)
     t = n_sub * tp
+    r = tp * kt
+    pair = _pick_pair(ac, c)
+    if pair > 1:
+        rk8k = _pair_rk8k(rk8k, r)
     # output in the table's (compute) dtype: accumulation is f32 in-kernel,
     # and a bf16 activation chain halves the HBM write
     out_shape = jax.ShapeDtypeStruct((b, p, na * d), gdt)
@@ -680,13 +733,15 @@ def _call_gather_w(gx8, idx3, tab, rk8k, w2, sigma, tp, kt, nt, ac,
     # VMEM-resident across them (it only changes with the anchor chunk)
     return pl.pallas_call(
         functools.partial(_fwd_gather_w_kernel, sigma=float(sigma), tp=tp,
-                          kt=kt, nt=nt, n_sub=n_sub, ac=ac, c=c, d=d),
+                          kt=kt, nt=nt, n_sub=n_sub, ac=ac, c=c, d=d,
+                          pair=pair),
         grid=(b, na // ac, p // t),
         in_specs=[
             pl.BlockSpec((1, 16, t * nt), lambda bb, ci, pt: (bb, 0, pt)),
             pl.BlockSpec((1, 1, t * nt), lambda bb, ci, pt: (bb, 0, pt)),
             pl.BlockSpec((1, qp, ac * c), lambda bb, ci, pt: (bb, 0, ci)),
-            pl.BlockSpec((ac, 16, tp * kt), lambda bb, ci, pt: (ci, 0, 0)),
+            pl.BlockSpec((ac // pair, 16, pair * r),
+                         lambda bb, ci, pt: (ci, 0, 0)),
             pl.BlockSpec((kt * c, d), lambda bb, ci, pt: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, t, ac * d),
@@ -711,7 +766,7 @@ def _call_gather_w(gx8, idx3, tab, rk8k, w2, sigma, tp, kt, nt, ac,
 
 def _bwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
                          dout_ref, dtab_ref, dw2_ref, fs, dFs, dacc, dgs, *,
-                         sigma, tp, kt, nt, n_sub, ac, c, d):
+                         sigma, tp, kt, nt, n_sub, ac, c, d, pair=1):
     """Fully fused backward of _fwd_gather_w_kernel: ONE kernel computes
     dTable (via k-major BD^T and the transposed one-hot select) and dW2
     (via recomputed f slabs), accumulating both in VMEM across grid steps
@@ -753,9 +808,7 @@ def _bwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
     # the GEMM N dim is >= 256 (single-slab N = C starves the MXU for
     # narrow layers); misaligned static lane reads of the grouped output
     # lower fine.
-    kg = 1
-    while kg < kt and kg * c < 256 and kt % (kg * 2) == 0:
-        kg *= 2
+    kg = _pick_kg(kt, c)
     for k0 in range(0, kt, kg):
         blk = jax.lax.dot_general(
             dacc[:], w2_ref[k0 * c:(k0 + kg) * c, :],
@@ -764,36 +817,43 @@ def _bwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
             precision=prec).astype(gdt)                        # [AC*T, kg*C]
         for i in range(kg):
             dFs[k0 + i] = blk[:, i * c:(i + 1) * c]
-    for a in range(ac):
+    r = tp * kt
+    for g in range(ac // pair):
         wp_all = jax.lax.dot_general(
-            rk8k_ref[a], gx8_ref[0],
+            rk8k_ref[g], gx8_ref[0],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=prec)                                    # [R, T*N~]
-        pend = []
+            precision=prec)                                 # [pair*R, T*N~]
+        pend = [[] for _ in range(pair)]
         for st in range(n_sub):
-            wp = wp_all[:, st * s:(st + 1) * s]                # [R, S]
+            wp = wp_all[:, st * s:(st + 1) * s]             # [pair*R, S]
             bd = jnp.maximum(wp, 0.0).astype(gdt)
-            # recompute f (k-major) for dW2
-            g_sub = g_all[st * s:(st + 1) * s, a * c:(a + 1) * c]
-            f = jax.lax.dot_general(
+            # recompute f (k-major) for dW2 — anchor-paired like the forward
+            g_sub = g_all[st * s:(st + 1) * s,
+                          g * pair * c:(g + 1) * pair * c]
+            f2 = jax.lax.dot_general(
                 bd, g_sub, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=prec).astype(gdt)                    # [R, C]
-            pend.append(f.reshape(kt, tp, c))
-            if len(pend) == grp:
-                blk = pend[0] if grp == 1 else jnp.concatenate(pend, axis=1)
-                off = a * t + (st + 1 - grp) * tp
-                fs[:, off:off + grp * tp, :] = blk
-                pend = []
-            # dg rows for this subtile: BD^T (k-major columns) @ dF slab
-            dF_ast = dFs[:, a * t + st * tp:a * t + (st + 1) * tp, :]
-            dg_sub = jax.lax.dot_general(
-                bd, dF_ast.reshape(kt * tp, c),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec).astype(gdt)                    # [S, C]
-            dgs[st * s:(st + 1) * s, a * c:(a + 1) * c] = dg_sub
+                precision=prec).astype(gdt)                 # [pair*R, pair*C]
+            for i in range(pair):
+                a = g * pair + i
+                f = f2[i * r:(i + 1) * r, i * c:(i + 1) * c]
+                pend[i].append(f.reshape(kt, tp, c))
+                if len(pend[i]) == grp:
+                    blk = (pend[i][0] if grp == 1
+                           else jnp.concatenate(pend[i], axis=1))
+                    off = a * t + (st + 1 - grp) * tp
+                    fs[:, off:off + grp * tp, :] = blk
+                    pend[i] = []
+                # dg rows for this subtile: BD^T (k-major columns) @ dF slab
+                bd_a = bd[i * r:(i + 1) * r, :]             # [R, S]
+                dF_ast = dFs[:, a * t + st * tp:a * t + (st + 1) * tp, :]
+                dg_sub = jax.lax.dot_general(
+                    bd_a, dF_ast.reshape(kt * tp, c),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec).astype(gdt)                # [S, C]
+                dgs[st * s:(st + 1) * s, a * c:(a + 1) * c] = dg_sub
     # transposed one-hot: scatter ALL dg rows back to support rows in ONE
     # [Q~, rows] x [rows, AC*C] GEMM + ONE accumulate per grid step. The
     # previous per-(anchor, subtile) formulation did n_sub*ac small
@@ -827,17 +887,23 @@ def _call_gather_w_bwd(gx8, idx3, tab, rk8k, w2, dout, sigma, tp, kt, nt,
                                  jnp.dtype(gdt).itemsize, bwd=True)
     assert n_sub > 0, (p, tp, kt, nt, c, d, ac, qp)
     t = n_sub * tp
+    r = tp * kt
+    pair = _pick_pair(ac, c)
+    if pair > 1:
+        rk8k = _pair_rk8k(rk8k, r)
     out_shapes = [jax.ShapeDtypeStruct((b, qp, na * c), jnp.float32),
                   jax.ShapeDtypeStruct((kt * c, d), jnp.float32)]
     return pl.pallas_call(
         functools.partial(_bwd_gather_w_kernel, sigma=float(sigma), tp=tp,
-                          kt=kt, nt=nt, n_sub=n_sub, ac=ac, c=c, d=d),
+                          kt=kt, nt=nt, n_sub=n_sub, ac=ac, c=c, d=d,
+                          pair=pair),
         grid=(b, na // ac, p // t),
         in_specs=[
             pl.BlockSpec((1, 16, t * nt), lambda bb, ci, pt: (bb, 0, pt)),
             pl.BlockSpec((1, 1, t * nt), lambda bb, ci, pt: (bb, 0, pt)),
             pl.BlockSpec((1, qp, ac * c), lambda bb, ci, pt: (bb, 0, ci)),
-            pl.BlockSpec((ac, 16, tp * kt), lambda bb, ci, pt: (ci, 0, 0)),
+            pl.BlockSpec((ac // pair, 16, pair * r),
+                         lambda bb, ci, pt: (ci, 0, 0)),
             pl.BlockSpec((kt * c, d), lambda bb, ci, pt: (0, 0)),
             pl.BlockSpec((1, t, ac * d), lambda bb, ci, pt: (bb, pt, ci)),
         ],

@@ -40,6 +40,8 @@ def main():
                     '(0 = model auto rule)')
     ap.add_argument('--batch', type=int, default=32)
     ap.add_argument('--iters', type=int, default=50)
+    ap.add_argument('--kg', type=int, default=0, help='learned-GEMM slab '
+                    'grouping lane target (0 = module default)')
     args = ap.parse_args()
 
     import jax
@@ -52,6 +54,8 @@ def main():
     so3conv.set_remat(False)
     if args.budget > 0:
         plic.set_vmem_budget(int(args.budget * 1024 * 1024))
+    if args.kg > 0:
+        plic.set_kg_target(args.kg)
 
     p_out, p_in, c_in, c_out, nn, radius, sigma, stride = LAYERS[args.layer]
     na, k = 60, 24
@@ -95,8 +99,8 @@ def main():
     r = chain(feats)
     r.block_until_ready()
     dt = (time.perf_counter() - t0) / args.iters
-    print(f'{args.layer} chunk={chunk} budget={args.budget or "default"}MB: '
-          f'{dt * 1e3:.3f} ms/layer-call')
+    print(f'{args.layer} chunk={chunk} budget={args.budget or "default"}MB '
+          f'kg={args.kg or "default"}: {dt * 1e3:.3f} ms/layer-call')
 
 
 if __name__ == '__main__':

@@ -236,6 +236,8 @@ def test_layer_fusable_gate():
 @pytest.mark.parametrize('B,P,N,AC,K,C,D,Q', [
     (2, 32, 12, 3, 24, 64, 48, 61),
     (1, 16, 32, 5, 30, 64, 128, 33),
+    # even AC + c<128: exercises the anchor-paired BD GEMM path (_PAIR)
+    (2, 32, 12, 4, 24, 64, 48, 61),
 ])
 def test_gather_conv_w_kernel_vs_oracle(B, P, N, AC, K, C, D, Q):
     """fused_gather_conv_w (megagather + BD conv + learned GEMM in one
