@@ -270,23 +270,33 @@ def main():
             'vs_baseline': round(dput / TARGET_CLOUDS_PER_SEC, 4)})
     except Exception as e:
         print(f'[bench] descriptor bench skipped: {e}', file=sys.stderr)
+    try:
+        gput, gdt = bench_rotation()
+        print(f'[bench] rotation alignment (reg_so3net, pair b8): '
+              f'{gput:.1f} pairs/s ({gdt * 1e3:.1f} ms)', file=sys.stderr)
+        extra_lines.append({
+            'metric': 'modelnet_rot_reg_60anchor_b8_1024pt_pair_throughput',
+            'value': round(gput, 2), 'unit': 'pairs/sec/chip',
+            'vs_baseline': round(gput / TARGET_CLOUDS_PER_SEC, 4)})
+    except Exception as e:
+        print(f'[bench] rotation bench skipped: {e}', file=sys.stderr)
+    try:
+        eput, edt = bench_train_e2e()
+        print(f'[bench] end-to-end trainer loop {edt * 1e3:.1f} '
+              f'ms/iter wall ({eput:.1f} clouds/s incl. host pipeline)',
+              file=sys.stderr)
+        extra_lines.append({
+            'metric': 'modelnet40_cls_train_end_to_end_wall_throughput',
+            'value': round(eput, 2), 'unit': 'clouds/sec/chip',
+            'vs_baseline': round(eput / TARGET_CLOUDS_PER_SEC, 4)})
+    except Exception as e:  # never break the JSON contract
+        print(f'[bench] e2e trainer bench skipped: {e}', file=sys.stderr)
 
     if os.environ.get('BENCH_EXTRA'):
-        try:
-            eput, edt = bench_train_e2e()
-            print(f'[bench-extra] end-to-end trainer loop {edt * 1e3:.1f} '
-                  f'ms/iter wall ({eput:.1f} clouds/s incl. host pipeline)',
-                  file=sys.stderr)
-        except Exception as e:  # never break the JSON contract
-            print(f'[bench-extra] e2e trainer bench skipped: {e}',
-                  file=sys.stderr)
         rput, rdt = bench_forward(kanchor=20)
         print(f'[bench-extra] reduced config kanchor=20: '
               f'{rput:.1f} clouds/s ({rdt * 1e3:.1f} ms @ b32)',
               file=sys.stderr)
-        gput, gdt = bench_rotation()
-        print(f'[bench-extra] rotation alignment (reg_so3net, pair b8): '
-              f'{gput:.1f} pairs/s ({gdt * 1e3:.1f} ms)', file=sys.stderr)
 
     for line in extra_lines:
         print(json.dumps(line))

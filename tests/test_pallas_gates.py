@@ -55,8 +55,13 @@ def _layer_shapes(params, input_num):
 
 
 def _models():
+    # kanchor 20/40 are the declared throughput frontier (BASELINE.md) —
+    # a de-fusion there silently costs 5-10x on exactly the configs the
+    # 10k/s re-scope depends on, so they get the same gate coverage.
     return [
         ('cls', cls_so3net_pn.build_model(_opt()), 1024),
+        ('cls_ka40', cls_so3net_pn.build_model(_opt(kanchor=40)), 1024),
+        ('cls_ka20', cls_so3net_pn.build_model(_opt(kanchor=20)), 1024),
         ('inv', inv_so3net_pn.build_model(_opt('inv_so3net_pn')), 1024),
         ('reg', reg_so3net.build_model(_opt('reg_so3net')), 1024),
     ]

@@ -286,8 +286,15 @@ def test_gather_conv_w_kernel_vs_oracle(B, P, N, AC, K, C, D, Q):
         return out.reshape(B, P, AC * D)
 
     f = fwd_fused(tabp, w2)
+    # Tolerance derivation: the learned GEMM contracts kt*C fp32 products
+    # (e.g. 30*64 = 1920 terms here); the fused kernel associates the sum
+    # per-anchor-chunk (M=AC*T slab) while the einsum associates it
+    # kt-major, so the reassociation error bound is gamma_n ~ n*eps =
+    # kt*C * 1.19e-7 (~2.3e-4 rel at depth 1920). Observed worst case in
+    # the odd-AC pairing path: 1.3e-4 rel on 1/10240 elements.
+    depth_rtol = max(1e-5, W.shape[0] * W.shape[1] * 1.3e-7)
     np.testing.assert_allclose(np.asarray(f), np.asarray(fwd_twostep(tabp, w2)),
-                               rtol=1e-5, atol=1e-4)
+                               rtol=depth_rtol, atol=1e-4)
     # loose sanity vs the from-scratch oracle (fp reassociation can flip
     # relu-boundary weights, so only absolute closeness is meaningful)
     np.testing.assert_allclose(np.asarray(f), np.asarray(fwd_oracle(tabp, w2)),
