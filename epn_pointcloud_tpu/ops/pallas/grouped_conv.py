@@ -89,6 +89,98 @@ def _bwd_kernel(x_ref, do_ref, w_ref, dx_ref, dw_ref, acc, xall, doall,
         preferred_element_type=jnp.float32, precision=prec)  # [g*c, g*d]
 
 
+def _act_f32(u, act, alpha):
+    """Activation on an f32 tile with torch subgradient semantics at 0
+    (masks use > 0; see nn/layers._leaky_relu_torch)."""
+    if act == 'leaky_relu':
+        return jnp.where(u > 0, u, alpha * u)
+    if act == 'relu':
+        return jnp.maximum(u, 0.0)
+    assert act in (None, 'none'), act
+    return u
+
+
+def _fwd_skip_kernel(x_ref, w_ref, b_ref, ssk_ref, y_ref, ssm_ref, out_ref,
+                     acc, *, ng, gc, gd, act, alpha):
+    """grouped conv + the whole separable-block tail in one pass:
+
+        out = act(y * ssm0 + ssm1) + act((x @ W_bd + bias) * ssk0 + ssk1)
+
+    y = raw intra-conv output (its InstanceNorm folded to per-lane
+    scale/shift), ssk = the skip norm folded the same way. The conv result,
+    the normed/activated skip, and the normed/activated main branch never
+    exist in HBM — this replaces three XLA elementwise passes per separable
+    layer (skip norm+act, main norm+act, residual add) plus the conv
+    output's HBM round trip (ref block structure: base_so3conv.py:197-212).
+    Inference-only (no VJP): training keeps the composable path."""
+    w = w_ref[:]                                          # [g*c, g*d]
+    prec = (jax.lax.Precision.HIGHEST if x_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    bias = b_ref[0, 0:1, :]                               # [1, na*d] f32
+    for i in range(ng):
+        xi = x_ref[0, :, i * gc:(i + 1) * gc]             # [T, g*c]
+        acc[:, i * gd:(i + 1) * gd] = jax.lax.dot_general(
+            xi, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+    sk = _act_f32((acc[:] + bias) * ssk_ref[0, 0:1, :] + ssk_ref[0, 1:2, :],
+                  act, alpha)
+    ym = _act_f32(y_ref[0].astype(jnp.float32) * ssm_ref[0, 0:1, :]
+                  + ssm_ref[0, 1:2, :], act, alpha)
+    out_ref[0] = (ym + sk).astype(out_ref.dtype)
+
+
+def grouped_conv1x1_skip_epilogue(x3, w, bias, ss_skip, y3, ss_main, na,
+                                  act='leaky_relu', alpha=0.01,
+                                  interpret=False):
+    """Fused separable-block tail (see _fwd_skip_kernel).
+
+    x3 [b, p, na*c] block input (packed); w [c, d]; bias [d];
+    ss_skip [bs, 8, na*d] f32 per-lane (scale row 0, shift row 1) of the skip
+    norm (bs == 1 broadcasts: eval-mode BatchNorm); y3 [b, p, na*d] raw intra
+    output; ss_main [bm, 8, na*d] its InstanceNorm fold. Inference-only.
+    """
+    b, p_total, L = x3.shape
+    c, d = w.shape
+    assert L == na * c and y3.shape == (b, p_total, na * d)
+    g = pick_g(c, d, na)
+    x3, p = _pad_rows(x3, p_total)
+    y3, _ = _pad_rows(y3, p_total)
+    t = _pick_t(p, na * (c + 2 * d))
+    wbd = _block_diag(w.astype(x3.dtype), g)
+    brow = jnp.tile(bias.astype(jnp.float32), na)
+    b8 = jnp.zeros((1, 8, na * d), jnp.float32).at[0, 0].set(brow)
+    sb, mb = ss_skip.shape[0], ss_main.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_fwd_skip_kernel, ng=na // g, gc=g * c, gd=g * d,
+                          act=act, alpha=float(alpha)),
+        grid=(b, p // t),
+        in_specs=[
+            pl.BlockSpec((1, t, na * c), lambda bb, pt: (bb, pt, 0)),
+            pl.BlockSpec((g * c, g * d), lambda bb, pt: (0, 0)),
+            pl.BlockSpec((1, 8, na * d), lambda bb, pt: (0, 0, 0)),
+            pl.BlockSpec((1, 8, na * d),
+                         (lambda bb, pt: (bb, 0, 0)) if sb > 1
+                         else (lambda bb, pt: (0, 0, 0))),
+            pl.BlockSpec((1, t, na * d), lambda bb, pt: (bb, pt, 0)),
+            pl.BlockSpec((1, 8, na * d),
+                         (lambda bb, pt: (bb, 0, 0)) if mb > 1
+                         else (lambda bb, pt: (0, 0, 0))),
+        ],
+        out_specs=pl.BlockSpec((1, t, na * d), lambda bb, pt: (bb, pt, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, p, na * d), y3.dtype),
+        scratch_shapes=[pltpu.VMEM((t, na * d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p * na * g * c * d,
+            bytes_accessed=(x3.size + 2 * b * p * na * d) * x3.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x3, wbd, b8, ss_skip.astype(jnp.float32), y3,
+      ss_main.astype(jnp.float32))
+    return out[:, :p_total] if p > p_total else out
+
+
 def _pad_rows(x, p_total):
     p = p_total + (-p_total) % 8
     if p > p_total:

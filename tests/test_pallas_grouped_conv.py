@@ -124,3 +124,40 @@ def test_moments_anchor_tp_shard_map():
     np.testing.assert_allclose(np.asarray(sq),
                                np.asarray((x ** 2).sum(1)),
                                rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize('c,d,bs,bm', [(64, 64, 1, 2), (64, 128, 1, 1)])
+def test_grouped_conv_skip_epilogue_vs_oracle(c, d, bs, bm):
+    """Fused separable-block tail: conv + skip scale/shift + act + main
+    scale/shift + act + residual add, vs the composed oracle
+    (contract: grouped_conv1x1_skip_epilogue; ref base_so3conv.py:197-212)."""
+    from epn_pointcloud_tpu.ops.pallas.grouped_conv import (
+        grouped_conv1x1_skip_epilogue)
+    na = 12
+    rng = np.random.RandomState(3)
+    b, p = 2, 16
+    x = jnp.asarray(rng.randn(b, p, na * c).astype(np.float32))
+    y = jnp.asarray(rng.randn(b, p, na * d).astype(np.float32))
+    w = jnp.asarray(rng.randn(c, d).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(d).astype(np.float32))
+
+    def mk_ss(nb):
+        ss = np.zeros((nb, 8, na * d), np.float32)
+        ss[:, 0] = rng.rand(nb, na * d) + 0.5
+        ss[:, 1] = rng.randn(nb, na * d)
+        return jnp.asarray(ss)
+
+    ssk, ssm = mk_ss(bs), mk_ss(bm)
+
+    out = grouped_conv1x1_skip_epilogue(x, w, bias, ssk, y, ssm, na,
+                                        act='leaky_relu', interpret=True)
+
+    def leaky(u):
+        return jnp.where(u > 0, u, 0.01 * u)
+
+    conv = (jnp.einsum('bpac,cd->bpad', x.reshape(b, p, na, c), w)
+            + bias).reshape(b, p, na * d)
+    sk = leaky(conv * ssk[:, 0:1, :] + ssk[:, 1:2, :])
+    ym = leaky(y * ssm[:, 0:1, :] + ssm[:, 1:2, :])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ym + sk),
+                               rtol=1e-5, atol=1e-5)
