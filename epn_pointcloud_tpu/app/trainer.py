@@ -50,7 +50,9 @@ class Trainer:
         os.makedirs(self.root_dir, exist_ok=True)
 
         with open(os.path.join(self.root_dir, 'opt.txt'), 'w') as fout:
-            json.dump(opt_dict, fout, indent=2)
+            # default=str: opt namespaces that crossed the reference-parity
+            # harness can carry non-JSON leaves (e.g. torch.device)
+            json.dump(opt_dict, fout, indent=2, default=str)
 
         self.logger = Logger(log_file=os.path.join(self.root_dir, 'log.txt'))
         self.logger.log('Setup', 'Logger created! Hello World!')

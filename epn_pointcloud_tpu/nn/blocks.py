@@ -16,12 +16,17 @@ from ..ops import sampling
 from ..ops.so3conv import SphericalPointCloud
 from .layers import (BasicSO3Conv, Dense1x1, InstanceNorm, InterSO3Conv,
                      IntraSO3Conv, KernelPropagation, make_norm)
+# torch-subgradient-exact activations (see layers._leaky_relu_torch)
+from .layers import get_activation  # noqa: F401
 
 
-def get_activation(name: Optional[str]):
-    if name is None:
-        return None
-    return getattr(jax.nn, name)
+def _pack_ss(scale, shift):
+    """Per-lane (scale, shift) [bs, L] -> the [bs, 8, L] f32 rows-0/1 packing
+    the Pallas tail/prenorm kernels consume (sublane-aligned block)."""
+    bs, L = scale.shape
+    ss = jnp.zeros((bs, 8, L), jnp.float32)
+    return (ss.at[:, 0, :].set(scale.astype(jnp.float32))
+            .at[:, 1, :].set(shift.astype(jnp.float32)))
 
 
 class IntraSO3ConvBlock(fnn.Module):
@@ -35,17 +40,26 @@ class IntraSO3ConvBlock(fnn.Module):
 
     @fnn.compact
     def __call__(self, x: SphericalPointCloud, train: bool = True,
-                 prenorm=None):
+                 prenorm=None, defer_norm_act: bool = False):
         x = IntraSO3Conv(self.dim_in, self.dim_out)(x, prenorm=prenorm)
         groups = (x.feats.shape[-1] // self.dim_out
                   if x.feats.ndim == 3 else 1)
+        if defer_norm_act and x.feats.ndim == 3 and groups > 1 \
+                and self.dropout_rate == 0:
+            # return the RAW intra output + its InstanceNorm folded to
+            # per-lane (scale, shift): the separable block's fused tail
+            # kernel applies norm+act on VMEM-resident tiles
+            scale, shift = InstanceNorm(groups=groups)(
+                x.feats, train=train, scale_shift=True)
+            return x, (scale, shift, self.activation)
         feat = InstanceNorm(groups=groups)(x.feats, train=train)
         act = get_activation(self.activation)
         if act is not None:
             feat = act(feat)
         if self.dropout_rate > 0:
             feat = fnn.Dropout(self.dropout_rate, deterministic=not train)(feat)
-        return SphericalPointCloud(x.xyz, feat, x.anchors)
+        out = SphericalPointCloud(x.xyz, feat, x.anchors)
+        return (out, None) if defer_norm_act else out
 
 
 class InterSO3ConvBlock(fnn.Module):
@@ -142,12 +156,34 @@ class SeparableSO3ConvBlock(fnn.Module):
             inter_idx, inter_w, sample_idx, x = ret
             deferred = None
 
+        # inference fused tail: the skip conv GEMM, the skip norm+act, the
+        # main-chain InstanceNorm+act, AND the residual add run in ONE
+        # Pallas kernel on VMEM-resident tiles — the conv output, the
+        # activated skip, and the activated main branch never exist in HBM.
+        # Eligibility mirrors the kernel contract: eval only (the skip norm
+        # must fold to constants -> eval-mode BatchNorm; training needs its
+        # batch stats from the materialized conv output), packed 3D
+        # activations, supported group tiling, single device (a raw
+        # pallas_call is opaque to GSPMD).
+        from ..ops.pallas import grouped_conv as plgc
+        na = p['kanchor']
+        fuse_tail = (fuse and not train and not ones_input
+                     and skip_feature.ndim == 3
+                     and p.get('norm') in ('BatchNorm2d', 'BatchNorm1d')
+                     and jax.default_backend() == 'tpu'
+                     and jax.device_count() == 1
+                     and plgc.supported(dim_in, dim_out, na))
+
         if use_intra:
-            x = IntraSO3ConvBlock(
+            ret2 = IntraSO3ConvBlock(
                 dim_in=dim_out, dim_out=dim_out,
                 dropout_rate=p['dropout_rate'],
                 activation=p['activation'])(x, train=train,
-                                            prenorm=deferred)
+                                            prenorm=deferred,
+                                            defer_norm_act=fuse_tail)
+            x, main_ss = ret2 if fuse_tail else (ret2, None)
+        else:
+            main_ss = None
         if p['stride'] > 1:
             if ones_input:
                 # occupancy-ones input (block0 L0): gathering an all-ones
@@ -161,10 +197,23 @@ class SeparableSO3ConvBlock(fnn.Module):
             else:
                 skip_feature = sampling.gather_points(skip_feature,
                                                       sample_idx)
+        if main_ss is not None:
+            m_scale, m_shift, act_name = main_ss
+            k, bias = Dense1x1(dim_out)(skip_feature, packed_groups=na,
+                                        return_params=True)
+            # eval-mode BatchNorm folded to per-lane constants; x.feats is
+            # only a shape proxy for the module (stats come from variables)
+            s_scale, s_shift = make_norm(p.get('norm'))(groups=na)(
+                x.feats, train=train, scale_shift=True)
+            feat = plgc.grouped_conv1x1_skip_epilogue(
+                skip_feature, k.astype(skip_feature.dtype), bias,
+                _pack_ss(s_scale, s_shift), x.feats,
+                _pack_ss(m_scale, m_shift), na, act=act_name)
+            return inter_idx, inter_w, sample_idx, SphericalPointCloud(
+                x.xyz, feat, x.anchors)
         if skip_feature.ndim == 3:
             # packed [b, p, na*c]: the 1x1 conv mixes channels per anchor
             # (grouped Pallas kernel on TPU — stays in the packed layout)
-            na = p['kanchor']
             skip_feature = Dense1x1(dim_out)(skip_feature, packed_groups=na)
             skip_feature = make_norm(p.get('norm'))(groups=na)(
                 skip_feature, train=train)

@@ -21,6 +21,25 @@ from ..ops.so3conv import SphericalPointCloud
 KERNEL_CONDENSE_RATIO = kernel_points.KERNEL_CONDENSE_RATIO  # 0.7
 
 
+def _leaky_relu_torch(x, negative_slope: float = 0.01):
+    """torch F.leaky_relu INCLUDING its subgradient at exactly 0: torch's
+    backward masks with `x > 0` (slope at 0), while jax.nn.leaky_relu's
+    `x >= 0` gives 1 there. The difference is visible wherever a whole field
+    sits at exactly 0 — e.g. the block-0 skip branch at init (constant
+    occupancy input through a zero-bias BatchNorm), where it made every
+    gradient on that branch 100x the reference's
+    (tests/test_reference_train_parity.py)."""
+    return jnp.where(x > 0, x, negative_slope * x)
+
+
+def get_activation(name: Optional[str]):
+    if name is None or name == 'none':
+        return None
+    if name == 'leaky_relu':
+        return _leaky_relu_torch
+    return getattr(jax.nn, name)
+
+
 @functools.lru_cache(maxsize=None)
 def _anchors_const(kanchor: int) -> np.ndarray:
     return icosahedron.get_anchors(kanchor)
@@ -110,7 +129,7 @@ class Dense1x1(fnn.Module):
     use_bias: bool = True
 
     @fnn.compact
-    def __call__(self, x, packed_groups=None):
+    def __call__(self, x, packed_groups=None, return_params: bool = False):
         # packed_groups=na: x is packed [b, p, na*c]; apply the [c, d] weight
         # per anchor block. On TPU this runs the grouped Pallas kernel (packed
         # layout in/out — no reshapes/layout copies); elsewhere it falls back
@@ -125,6 +144,11 @@ class Dense1x1(fnn.Module):
                                   (self.features,))
             else:
                 bias = jnp.zeros((self.features,), jnp.float32)
+            if return_params:
+                # caller runs the GEMM inside its own fused kernel (the
+                # separable-block tail); params declared here so the tree
+                # layout is identical either way
+                return k, bias
             from ..ops.pallas import grouped_conv as plgc
             use_pl = (jax.default_backend() == 'tpu'
                       and plgc.supported(fan_in, self.features, na))
@@ -502,8 +526,8 @@ class IntraSO3Conv(fnn.Module):
                 ss, act_name = prenorm
                 u = (feats.astype(jnp.float32) * ss[:, 0:1, :]
                      + ss[:, 1:2, :]).astype(cdt)
-                feats = (getattr(jax.nn, act_name)(u)
-                         if act_name not in (None, 'none') else u)
+                act = get_activation(act_name)
+                feats = act(u) if act is not None else u
             f4 = so3f.unpack_feats(feats, na) if packed else feats
             M = jnp.asarray(_intra_onehot_const(), dtype=cdt)   # [x, a, k]
             Y = jnp.einsum('bpxc,kcd->bpxkd', f4.astype(cdt),

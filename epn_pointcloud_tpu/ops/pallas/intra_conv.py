@@ -53,9 +53,11 @@ def _apply_prenorm(f, ss, act, alpha):
     kernel's load path (saves a full read+write pass over the packed
     activation per layer). ss rows: 0 = per-lane scale, 1 = per-lane shift."""
     u = f.astype(jnp.float32) * ss[0:1, :] + ss[1:2, :]
-    # activation in f32 (bf16 compares don't lower on this Mosaic target)
+    # activation in f32 (bf16 compares don't lower on this Mosaic target).
+    # `u > 0` (not >=): torch subgradient semantics at exactly 0 — see
+    # nn/blocks.py _leaky_relu_torch.
     if act == 'leaky_relu':
-        u = jnp.where(u >= 0, u, alpha * u)
+        u = jnp.where(u > 0, u, alpha * u)
     elif act == 'relu':
         u = jnp.maximum(u, 0.0)
     return u.astype(f.dtype)
@@ -228,12 +230,14 @@ def _bwd_kernel_prenorm(f_ref, ss_ref, do_ref, w2km_ref, df_ref, dw2_ref,
     scale = ss[0:1, :]
     shift = ss[1:2, :]
     u = f.astype(jnp.float32) * scale + shift             # [T, L] f32
+    # masks use `u > 0`: torch subgradient semantics at exactly 0 (torch
+    # leaky_relu backward gives alpha there, relu backward gives 0)
     if act == 'leaky_relu':
-        z = jnp.where(u >= 0, u, alpha * u).astype(f.dtype)
-        mask = jnp.where(u >= 0, 1.0, alpha)
+        z = jnp.where(u > 0, u, alpha * u).astype(f.dtype)
+        mask = jnp.where(u > 0, 1.0, alpha)
     elif act == 'relu':
         z = jnp.maximum(u, 0.0).astype(f.dtype)
-        mask = (u >= 0).astype(jnp.float32)
+        mask = (u > 0).astype(jnp.float32)
     else:
         z = u.astype(f.dtype)
         mask = None

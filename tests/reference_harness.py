@@ -238,6 +238,17 @@ def install_stubs():
         if p not in sys.path:
             sys.path.insert(0, p)
 
+    # the reference hardcodes .cuda() in a few loss-path helpers
+    # (vgtk/functional/rotation.py:384,447 compute_rotation_matrix_from_
+    # quaternion/_ortho6d); make .cuda() a CPU no-op so those paths run
+    # through the oracle
+    if not getattr(torch.Tensor.cuda, '_epn_stub', False):
+        def _cuda_noop(self, *a, **k):
+            return self
+        _cuda_noop._epn_stub = True
+        torch.Tensor.cuda = _cuda_noop
+        torch.nn.Module.cuda = _cuda_noop
+
 
 def import_reference():
     """Install stubs and import the reference packages; returns
@@ -263,7 +274,10 @@ def build_ref_opt(argv=None, **overrides):
         opt = opts_mod.opt
     finally:
         sys.argv = old_argv
-    opt.device = torch.device('cpu')
+    # a string, not torch.device: the reference base trainer json-dumps the
+    # whole opt namespace (vgtk/app/trainer.py:40-42) and torch.device is
+    # not serializable; every .to(opt.device) site accepts the string form
+    opt.device = 'cpu'
     for key, val in overrides.items():
         obj = opt
         parts = key.split('.')

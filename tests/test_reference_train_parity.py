@@ -1,0 +1,482 @@
+"""Gradient / optimizer / training-step parity against the PyTorch reference.
+
+Extends tests/test_reference_parity.py (forward-only) to the training side of
+the parity contract: on imported weights and a shared batch,
+
+  * d(loss)/d(params) from jax.grad matches torch autograd through the full
+    model + reference loss (all three live models);
+  * one optimizer step of optax.adam matches torch.optim.Adam on identical
+    gradients (ref optimizer: vgtk/vgtk/app/trainer.py:165, torch defaults);
+  * train-mode BatchNorm running-stat updates match torch's
+    momentum-0.1/unbiased-var semantics;
+  * a multi-step train loop (loss.backward(); optimizer.step() as in
+    SPConvNets/trainer_modelnet.py:102-110) tracks the reference loss
+    trajectory on identical data.
+
+Gradients transfer between frameworks through compat.import_state_dict: the
+weight import is a pure element permutation (reshape/transpose) per tensor,
+so gradients map with the exact same function.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import reference_harness as rh  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from epn_pointcloud_tpu import compat, losses  # noqa: E402
+from epn_pointcloud_tpu.ops import icosahedron  # noqa: E402
+
+
+@pytest.fixture()
+def reference_mode():
+    icosahedron.set_convention('reference')
+    yield
+    icosahedron.set_convention('native')
+
+
+def _ball_points(rng, b, n):
+    v = rng.randn(b, n, 3).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    r = rng.rand(b, n, 1).astype(np.float32) ** (1.0 / 3.0)
+    return (v * r).astype(np.float32)
+
+
+def _clone_state_dict(model):
+    return {k: v.detach().clone() for k, v in model.state_dict().items()}
+
+
+def _grad_state_dict(model):
+    """state_dict-shaped tree holding parameter GRADIENTS (buffers keep
+    their values so the importer's BatchNorm fill paths stay valid)."""
+    import torch
+    sd = {}
+    for name, p in model.named_parameters():
+        sd[name] = (p.grad.detach().clone() if p.grad is not None
+                    else torch.zeros_like(p))
+    for name, b in model.named_buffers():
+        sd[name] = b.detach().clone()
+    return sd
+
+
+def _flax_init(model, example):
+    return jax.jit(lambda: model.init({'params': jax.random.PRNGKey(0)},
+                                      example, train=False))()
+
+
+def _tree_paths_and_leaves(tree):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return [(jax.tree_util.keystr(path), np.asarray(leaf))
+            for path, leaf in flat]
+
+
+def _assert_tree_close(got, want, rtol, floor=1e-6, what='grad'):
+    """Per-leaf relative-to-max-magnitude comparison (gradient scales vary
+    by orders of magnitude across layers; elementwise rtol is meaningless
+    for near-zero entries)."""
+    got_leaves = _tree_paths_and_leaves(got)
+    want_leaves = _tree_paths_and_leaves(want)
+    assert len(got_leaves) == len(want_leaves)
+    for (path, g), (path2, w) in zip(got_leaves, want_leaves):
+        assert path == path2
+        scale = max(float(np.max(np.abs(w))), floor)
+        err = float(np.max(np.abs(g - w)))
+        assert err <= rtol * scale, (
+            f'{what} mismatch at {path}: max|diff|={err:.3e} vs '
+            f'{rtol:.1e} * scale={scale:.3e}')
+
+
+def _perturb_norm_biases(sd, seed=5):
+    """Shift every skip/branch norm bias off zero. At reference init the
+    block-0 skip branch is a BatchNorm over a CONSTANT field (1x1 conv of
+    the occupancy ones), whose normalized output is exactly 0 in exact
+    arithmetic: torch lands at 0 +- fp-noise/sqrt(eps) with a chaotic
+    leaky_relu mask, jax at exactly 0 — the gradient there is fp-rounding
+    chaos, not a defined quantity. A nonzero norm bias moves the whole
+    field off the activation kink, making every mask deterministic on both
+    sides."""
+    import torch
+    pr = np.random.RandomState(seed)
+    out = {}
+    for k, v in sd.items():
+        if '.norm.' in k and k.endswith('.bias'):
+            out[k] = v + torch.from_numpy(
+                0.3 * pr.randn(*v.shape).astype(np.float32))
+        else:
+            out[k] = v
+    return out
+
+
+def _assert_grads_close(grads_j, grads_t, what='grad', max_rel=5e-2,
+                        l2_rel=1e-2, noise_abs=1e-3):
+    """Gradient comparison calibrated to fp32 autodiff noise (measured on
+    this model; numbers in PARITY.md "gradient parity"):
+
+      * per-leaf RELATIVE L2 <= 1e-2 — the aggregate agreement that governs
+        training dynamics; measured cross-framework values are <= 4e-3;
+      * per-leaf max elementwise error <= 5e-2 * max|grad| — single-element
+        outliers come from 1/sqrt(var+eps) BatchNorm-backward amplification
+        of summation-order differences (torch reduces per-channel in C
+        loops, XLA in tree order) and compound with depth;
+      * leaves where BOTH frameworks report <= noise_abs are accepted as-is:
+        these are the mathematically-zero gradients — conv biases feeding a
+        BatchNorm (BN output is invariant to per-channel constants) and the
+        block-0 skip conv (its output feeds a BatchNorm over a constant
+        field, so dW = sum of deviations-from-the-mean = an exact zero that
+        each framework materializes as 1/sqrt(eps)-amplified fp noise,
+        measured <= 3e-4 in both). Every real gradient in the model is
+        >= 2.5e-2 at this batch size.
+    """
+    got_leaves = _tree_paths_and_leaves(grads_j)
+    want_leaves = _tree_paths_and_leaves(grads_t)
+    assert len(got_leaves) == len(want_leaves)
+    for (path, g), (path2, w) in zip(got_leaves, want_leaves):
+        assert path == path2
+        g = np.asarray(g, np.float64)
+        w = np.asarray(w, np.float64)
+        if max(float(np.max(np.abs(g))), float(np.max(np.abs(w)))) \
+                <= noise_abs:
+            continue
+        scale = float(np.max(np.abs(w)))
+        err = float(np.max(np.abs(g - w)))
+        l2 = float(np.linalg.norm(g - w) / np.linalg.norm(w))
+        assert err <= max_rel * scale, (
+            f'{what} mismatch at {path}: max|diff|={err:.3e} vs '
+            f'{max_rel:.1e} * scale={scale:.3e}')
+        assert l2 <= l2_rel, (
+            f'{what} L2 mismatch at {path}: relL2={l2:.3e} > {l2_rel:.1e}')
+
+
+def _optax_adam_step(params, grads, lr=1e-3):
+    import optax
+    tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = tx.init(params)
+    updates, _ = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates)
+
+
+# ---------------------------------------------------------------------------
+# cls_so3net_pn: grads + BatchNorm stats + Adam arithmetic (one shared run)
+# ---------------------------------------------------------------------------
+
+def test_cls_grad_bnstats_adam_parity(reference_mode):
+    import torch
+    rh.install_stubs()
+    torch.manual_seed(2913)
+    np.random.seed(2913)
+    opt = rh.build_ref_opt()
+    opt.model.kanchor = 60
+    opt.model.flag = 'attention'
+
+    from SPConvNets.models import cls_so3net_pn as ref_cls
+    import vgtk.loss as ref_losses
+    ref_model = ref_cls.build_model_from(opt, None)
+    ref_model.train()
+
+    rng = np.random.RandomState(17)
+    b = 2
+    x = _ball_points(rng, b, 1024)
+    label = rng.randint(0, 40, size=(b,)).astype(np.int64)
+    rlabel = rng.randint(0, 60, size=(b,)).astype(np.int64)
+
+    sd0 = _perturb_norm_biases(_clone_state_dict(ref_model))
+    ref_model.load_state_dict(sd0)
+
+    # ---- torch: train-mode forward + attention CE + backward
+    metric = ref_losses.AttentionCrossEntropyLoss(
+        opt.train_loss.attention_loss_type, opt.train_loss.attention_margin)
+    x_t = torch.from_numpy(x)
+    pred_t, feat_t = ref_model(x_t)
+    loss_t, cls_loss_t, r_loss_t, _, _ = metric(
+        pred_t, torch.from_numpy(label), feat_t, torch.from_numpy(rlabel))
+    ref_model.zero_grad()
+    loss_t.backward()
+
+    # ---- jax: identical weights (pre-forward), identical batch
+    from epn_pointcloud_tpu.models import cls_so3net_pn
+    model = cls_so3net_pn.build_model(opt)
+    xj = jnp.asarray(x)
+    variables = compat.import_state_dict(_flax_init(model, xj), sd0)
+    lj, rlj = jnp.asarray(label), jnp.asarray(rlabel)
+
+    def loss_fn(params):
+        (pred, feat), mut = model.apply(
+            {'params': params, 'batch_stats': variables['batch_stats']},
+            xj, train=True, mutable=['batch_stats'],
+            rngs={'dropout': jax.random.PRNGKey(1)})
+        loss, aux = losses.attention_cross_entropy(
+            pred, lj, feat, rlj, opt.train_loss.attention_loss_type,
+            opt.train_loss.attention_margin)
+        return loss, (aux, mut)
+
+    (loss_j, (aux, mut)), grads_j = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(variables['params'])
+
+    # loss values agree on the shared batch
+    np.testing.assert_allclose(float(loss_j), float(loss_t),
+                               rtol=1e-4, atol=1e-4)
+
+    # ---- gradient parity: torch grads mapped through the weight importer
+    grads_t = compat.import_state_dict(
+        _flax_init(model, xj), _grad_state_dict(ref_model))['params']
+    _assert_grads_close(grads_j, grads_t, what='grad')
+
+    # ---- BatchNorm running-stat update parity (train-mode forward above
+    #      already advanced torch's running stats; momentum 0.1, unbiased
+    #      running_var — torch _BatchNorm semantics)
+    stats_t = compat.import_state_dict(
+        _flax_init(model, xj), _clone_state_dict(ref_model))['batch_stats']
+    _assert_tree_close(mut['batch_stats'], stats_t, rtol=1e-4,
+                       what='batch_stats')
+
+    # ---- Adam arithmetic parity on IDENTICAL grads (isolates the optimizer
+    #      from autodiff noise; torch.optim.Adam lr=1e-3 defaults as the
+    #      reference trainer, vgtk/app/trainer.py:165)
+    opt_t = torch.optim.Adam(ref_model.parameters(), lr=1e-3)
+    opt_t.step()
+    params_t1 = compat.import_state_dict(
+        _flax_init(model, xj), _clone_state_dict(ref_model))['params']
+    params_j1 = _optax_adam_step(
+        compat.import_state_dict(_flax_init(model, xj), sd0)['params'],
+        grads_t, lr=1e-3)
+    _assert_tree_close(params_j1, params_t1, rtol=1e-5, what='adam step')
+
+
+# ---------------------------------------------------------------------------
+# reg_so3net: grads through MultiTaskDetectionLoss (alignment setting)
+# ---------------------------------------------------------------------------
+
+def test_reg_grad_parity(reference_mode):
+    import torch
+    rh.install_stubs()
+    torch.manual_seed(2913)
+    np.random.seed(2913)
+    opt = rh.build_ref_opt()
+    opt.model.kanchor = 60
+
+    from SPConvNets.models import reg_so3net as ref_reg
+    import vgtk.loss as ref_losses
+    ref_model = ref_reg.build_model_from(opt, None)
+    ref_model.train()
+
+    rng = np.random.RandomState(19)
+    b, na = 2, 60
+    x = np.stack([_ball_points(rng, b, 1024),
+                  _ball_points(rng, b, 1024)], axis=1)  # [b, 2, p, 3]
+    anchors = icosahedron.get_anchors(60).astype(np.float32)
+    rlabel = rng.randint(0, na, size=(b, na)).astype(np.int64)
+    # random rotations for gt_T and per-anchor gt_R (only grad flow matters)
+    from scipy.spatial.transform import Rotation
+    T = Rotation.random(b, random_state=3).as_matrix().astype(np.float32)
+    R = Rotation.random(b * na, random_state=4).as_matrix().astype(
+        np.float32).reshape(b, na, 3, 3)
+
+    sd0 = _perturb_norm_biases(_clone_state_dict(ref_model))
+    ref_model.load_state_dict(sd0)
+
+    metric = ref_losses.MultiTaskDetectionLoss(
+        torch.from_numpy(anchors), nr=4, w=10)
+    conf_t, y_t = ref_model(torch.from_numpy(x))
+    loss_t, _, _, _, _ = metric(
+        conf_t, torch.from_numpy(rlabel), y_t, torch.from_numpy(R),
+        torch.from_numpy(T))
+    ref_model.zero_grad()
+    loss_t.backward()
+
+    from epn_pointcloud_tpu.models import reg_so3net
+    model = reg_so3net.build_model(opt)
+    xj = jnp.asarray(x)
+    variables = compat.import_state_dict(_flax_init(model, xj), sd0)
+    anchors_j = jnp.asarray(anchors)
+    rlj, Tj, Rj = jnp.asarray(rlabel), jnp.asarray(T), jnp.asarray(R)
+
+    def loss_fn(params):
+        # reg_so3net has no BatchNorm collection (InstanceNorm backbone)
+        v = {'params': params}
+        if 'batch_stats' in variables:
+            v['batch_stats'] = variables['batch_stats']
+        (wts, y), mut = model.apply(
+            v, xj, train=True, mutable=['batch_stats'],
+            rngs={'dropout': jax.random.PRNGKey(1)})
+        loss, aux = losses.multi_task_detection_loss(
+            anchors_j, wts, rlj, y, Rj, Tj, nr=4)
+        return loss, aux
+
+    (loss_j, _), grads_j = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(variables['params'])
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t),
+                               rtol=1e-4, atol=1e-4)
+    grads_t = compat.import_state_dict(
+        _flax_init(model, xj), _grad_state_dict(ref_model))['params']
+    _assert_grads_close(grads_j, grads_t, what='grad')
+
+
+# ---------------------------------------------------------------------------
+# inv_so3net_pn: grads through TripletBatchLoss (two forwards per step)
+# ---------------------------------------------------------------------------
+
+def test_inv_grad_parity(reference_mode):
+    import torch
+    rh.install_stubs()
+    torch.manual_seed(2913)
+    np.random.seed(2913)
+    opt = rh.build_ref_opt()
+    opt.model.kanchor = 60
+
+    from SPConvNets.models import inv_so3net_pn as ref_inv
+    import vgtk.loss as ref_losses
+    ref_model = ref_inv.build_model_from(opt, None)
+    ref_model.train()
+
+    rng = np.random.RandomState(23)
+    b = 4
+    src = _ball_points(rng, b, 1024)
+    tgt = _ball_points(rng, b, 1024)
+    anchors = icosahedron.get_anchors(60).astype(np.float32)
+
+    sd0 = _perturb_norm_biases(_clone_state_dict(ref_model))
+    ref_model.load_state_dict(sd0)
+
+    metric = ref_losses.TripletBatchLoss(opt, torch.from_numpy(anchors))
+    T_t = torch.eye(3)[None].repeat(b, 1, 1)
+    y_src_t, _ = ref_model(torch.from_numpy(src))
+    y_tgt_t, _ = ref_model(torch.from_numpy(tgt))
+    loss_t, _, _, _ = metric(y_src_t, y_tgt_t, T_t)
+    ref_model.zero_grad()
+    loss_t.backward()
+
+    from epn_pointcloud_tpu.models import inv_so3net_pn
+    model = inv_so3net_pn.build_model(opt)
+    sj, tj = jnp.asarray(src), jnp.asarray(tgt)
+    variables = compat.import_state_dict(_flax_init(model, sj), sd0)
+    loss_mode = opt.train_loss.loss_type
+    margin = opt.train_loss.margin
+
+    def loss_fn(params):
+        # inv_so3net_pn carries no BatchNorm (InstanceNorm backbone) — no
+        # batch_stats collection exists in its variables
+        v = {'params': params}
+        if 'batch_stats' in variables:
+            v['batch_stats'] = variables['batch_stats']
+        (y_src, _), _ = model.apply(v, sj, train=True,
+                                    mutable=['batch_stats'],
+                                    rngs={'dropout': jax.random.PRNGKey(1)})
+        (y_tgt, _), _ = model.apply(v, tj, train=True,
+                                    mutable=['batch_stats'],
+                                    rngs={'dropout': jax.random.PRNGKey(2)})
+        loss, aux = losses.triplet_batch_loss(y_src, y_tgt, loss_mode, margin)
+        return loss, aux
+
+    (loss_j, _), grads_j = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(variables['params'])
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t),
+                               rtol=1e-4, atol=1e-4)
+    grads_t = compat.import_state_dict(
+        _flax_init(model, sj), _grad_state_dict(ref_model))['params']
+    # wider l2 band than cls: the triplet step runs TWO forwards through an
+    # all-InstanceNorm backbone (per-instance small-sample stats, each a
+    # 1/sqrt(var+eps) backward amplifier), roughly doubling the fp32 noise;
+    # measured worst leaf 1.2e-2 vs cls's 4e-3
+    _assert_grads_close(grads_j, grads_t, what='grad', l2_rel=2.5e-2,
+                        max_rel=8e-2)
+
+
+# ---------------------------------------------------------------------------
+# Multi-step training trajectory (cls model, reference train loop:
+# SPConvNets/trainer_modelnet.py:102-110 — forward, loss, backward, Adam)
+# ---------------------------------------------------------------------------
+
+def test_cls_train_trajectory_parity(reference_mode):
+    import torch
+    import optax
+    rh.install_stubs()
+    torch.manual_seed(2913)
+    np.random.seed(2913)
+    opt = rh.build_ref_opt()
+    opt.model.kanchor = 60
+    opt.model.flag = 'attention'
+
+    from SPConvNets.models import cls_so3net_pn as ref_cls
+    import vgtk.loss as ref_losses
+    ref_model = ref_cls.build_model_from(opt, None)
+    ref_model.train()
+    sd0 = _perturb_norm_biases(_clone_state_dict(ref_model))
+    ref_model.load_state_dict(sd0)
+
+    n_steps = 5
+    rng = np.random.RandomState(29)
+    batches = []
+    for _ in range(n_steps):
+        batches.append((
+            _ball_points(rng, 2, 1024),
+            rng.randint(0, 40, size=(2,)).astype(np.int64),
+            rng.randint(0, 60, size=(2,)).astype(np.int64)))
+
+    # ---- torch loop
+    metric = ref_losses.AttentionCrossEntropyLoss(
+        opt.train_loss.attention_loss_type, opt.train_loss.attention_margin)
+    opt_t = torch.optim.Adam(ref_model.parameters(), lr=1e-3)
+    torch_losses = []
+    for x, label, rlabel in batches:
+        pred, feat = ref_model(torch.from_numpy(x))
+        loss, _, _, _, _ = metric(pred, torch.from_numpy(label), feat,
+                                  torch.from_numpy(rlabel))
+        opt_t.zero_grad()
+        loss.backward()
+        opt_t.step()
+        torch_losses.append(float(loss))
+
+    # ---- jax loop (same init weights, same data, optax.adam)
+    from epn_pointcloud_tpu.models import cls_so3net_pn
+    model = cls_so3net_pn.build_model(opt)
+    x0 = jnp.asarray(batches[0][0])
+    variables = compat.import_state_dict(_flax_init(model, x0), sd0)
+    tx = optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8)
+    params, stats = variables['params'], variables['batch_stats']
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, stats, opt_state, x, label, rlabel):
+        def loss_fn(p):
+            (pred, feat), mut = model.apply(
+                {'params': p, 'batch_stats': stats}, x, train=True,
+                mutable=['batch_stats'],
+                rngs={'dropout': jax.random.PRNGKey(0)})
+            loss, _ = losses.attention_cross_entropy(
+                pred, label, feat, rlabel,
+                opt.train_loss.attention_loss_type,
+                opt.train_loss.attention_margin)
+            return loss, mut
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), mut['batch_stats'],
+                opt_state2, loss)
+
+    jax_losses = []
+    for x, label, rlabel in batches:
+        params, stats, opt_state, loss = train_step(
+            params, stats, opt_state, jnp.asarray(x), jnp.asarray(label),
+            jnp.asarray(rlabel))
+        jax_losses.append(float(loss))
+
+    # per-step agreement with a linearly widening band. Bit-tracking is not
+    # achievable under Adam: |update| ~ lr regardless of gradient magnitude
+    # (m/sqrt(v) is scale-free), so the ~1e-2-relative fp32 autodiff noise
+    # (see _assert_grads_close) rotates every step's direction slightly and
+    # the trajectories drift ~1%/step — two torch runs with different
+    # reduction orders drift the same way. Step 0 (pre-update weights) is
+    # held tight; the band then grows ~1.2%/step (measured drift: 2.1% at
+    # step 3).
+    for k, (lt, lj) in enumerate(zip(torch_losses, jax_losses)):
+        band = (1e-3 if k == 0 else 1.2e-2 * k) * max(1.0, abs(lt))
+        assert abs(lt - lj) <= band, (
+            f'step {k}: torch loss {lt:.6f} vs jax loss {lj:.6f}')
