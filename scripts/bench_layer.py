@@ -42,6 +42,8 @@ def main():
     ap.add_argument('--iters', type=int, default=50)
     ap.add_argument('--kg', type=int, default=0, help='learned-GEMM slab '
                     'grouping lane target (0 = module default)')
+    ap.add_argument('--pair', type=int, default=-1,
+                    help='anchor-paired BD GEMMs: 1/0 (-1 = module default)')
     args = ap.parse_args()
 
     import jax
@@ -56,6 +58,8 @@ def main():
         plic.set_vmem_budget(int(args.budget * 1024 * 1024))
     if args.kg > 0:
         plic.set_kg_target(args.kg)
+    if args.pair >= 0:
+        plic.set_pair(bool(args.pair))
 
     p_out, p_in, c_in, c_out, nn, radius, sigma, stride = LAYERS[args.layer]
     na, k = 60, 24

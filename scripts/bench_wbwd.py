@@ -47,8 +47,8 @@ def main():
         ker = jnp.asarray(rng.randn(K, 3).astype(np.float32) * 0.3)
         rk = jnp.einsum('aij,kj->aki', anch, ker)
         k2 = jnp.sum(ker ** 2, -1)
-        rk8 = ic.make_rk8(rk, k2, tp, kt)
-        rk8k = ic.make_rk8_kmajor(rk, k2, tp, kt)
+        rk8 = ic.make_rk8(rk, k2, tp, kt, SIGMA)
+        rk8k = ic.make_rk8_kmajor(rk, k2, tp, kt, SIGMA)
         qp = -(-q // 8) * 8
         tab = jnp.asarray(rng.randn(B, qp, NA * c)).astype(jnp.bfloat16)
         idxn = rng.randint(0, q, size=(B, p, nn)).astype(np.int32)
@@ -77,7 +77,7 @@ def sweep():
         ker = jnp.asarray(rng.randn(K, 3).astype(np.float32) * 0.3)
         rk = jnp.einsum('aij,kj->aki', anch, ker)
         k2 = jnp.sum(ker ** 2, -1)
-        rk8k = ic.make_rk8_kmajor(rk, k2, tp, kt)
+        rk8k = ic.make_rk8_kmajor(rk, k2, tp, kt, SIGMA)
         qp = -(-q // 8) * 8
         tab = jnp.asarray(rng.randn(B, qp, NA * c)).astype(jnp.bfloat16)
         idxn = rng.randint(0, q, size=(B, p, nn)).astype(np.int32)
@@ -109,8 +109,8 @@ def sweep_fwd():
         ker = jnp.asarray(rng.randn(K, 3).astype(np.float32) * 0.3)
         rk = jnp.einsum('aij,kj->aki', anch, ker)
         k2 = jnp.sum(ker ** 2, -1)
-        rk8 = ic.make_rk8(rk, k2, tp, kt)
-        rk8k = ic.make_rk8_kmajor(rk, k2, tp, kt)
+        rk8 = ic.make_rk8(rk, k2, tp, kt, SIGMA)
+        rk8k = ic.make_rk8_kmajor(rk, k2, tp, kt, SIGMA)
         qp = -(-q // 8) * 8
         tab = jnp.asarray(rng.randn(B, qp, NA * c)).astype(jnp.bfloat16)
         idxn = rng.randint(0, q, size=(B, p, nn)).astype(np.int32)

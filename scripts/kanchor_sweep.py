@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def train_and_eval(kanchor: int, root: str, iters: int, batch: int):
+def train_and_eval(kanchor: int, root: str, iters: int, batch: int,
+                   dtype: str = 'bf16'):
     import jax
     from epn_pointcloud_tpu.app.config import default_opt
     from epn_pointcloud_tpu.app.trainer_modelnet import TrainerModelNet
@@ -33,7 +34,7 @@ def train_and_eval(kanchor: int, root: str, iters: int, batch: int):
     opt = default_opt(**{'dataset_path': root, 'model.input_num': 1024,
                          'model.kanchor': kanchor, 'model.flag': 'attention',
                          'model.model': 'cls_so3net_pn',
-                         'compute_dtype': 'bf16',
+                         'compute_dtype': dtype,
                          'num_iterations': iters,
                          'experiment_id': f'kanchor_sweep_k{kanchor}'})
     opt.batch_size = batch
@@ -66,6 +67,9 @@ def main():
     ap.add_argument('--kanchors', default='60,40,20')
     ap.add_argument('--skip-train', action='store_true',
                     help='throughput only')
+    ap.add_argument('--dtype', default='bf16', choices=['bf16', 'fp32'],
+                    help='training/inference compute dtype (the '
+                         'bf16-vs-fp32 accuracy-delta experiment)')
     args = ap.parse_args()
 
     from epn_pointcloud_tpu.data import synthetic
@@ -84,8 +88,10 @@ def main():
         cps, dt = bench_inference(k)
         acc = train_wall = None
         if not args.skip_train:
-            acc, train_wall = train_and_eval(k, root, args.iters, args.batch)
-        rows.append({'kanchor': k, 'clouds_per_sec': round(cps, 1),
+            acc, train_wall = train_and_eval(k, root, args.iters,
+                                             args.batch, args.dtype)
+        rows.append({'kanchor': k, 'dtype': args.dtype,
+                     'clouds_per_sec': round(cps, 1),
                      'step_ms': round(dt * 1e3, 2),
                      'testR_acc': acc if acc is None else round(100 * acc, 2),
                      'train_wall_s': train_wall and round(train_wall, 1)})

@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TRACE_DIR = '/tmp/epn_trace'
 
 
-def run_flagship(train=False):
+def run_flagship(train=False, kanchor=60, model_name='cls_so3net_pn',
+                 batch=None):
     import jax
     import jax.numpy as jnp
     from epn_pointcloud_tpu import models
@@ -31,13 +32,14 @@ def run_flagship(train=False):
     so3conv.set_compute_dtype('bf16')
     so3conv.set_remat(train)
 
-    opt = default_opt(**{'model.model': 'cls_so3net_pn',
+    opt = default_opt(**{'model.model': model_name,
                          'model.input_num': 1024,
-                         'model.kanchor': 60,
+                         'model.kanchor': kanchor,
                          'model.flag': 'attention'})
     model = models.build_model_from(opt)
     rng = np.random.RandomState(0)
-    batch = 12 if train else 32
+    if batch is None:
+        batch = 12 if train else 32
     x = jnp.asarray(rng.randn(batch, 1024, 3).astype(np.float32))
     variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
         jax.random.PRNGKey(0), x)
@@ -121,8 +123,18 @@ def summarize(topk=40):
 if __name__ == '__main__':
     train = '--train' in sys.argv
     topk = 40
+    kanchor = 60
+    model_name = 'cls_so3net_pn'
+    batch = None
     if '--topk' in sys.argv:
         topk = int(sys.argv[sys.argv.index('--topk') + 1])
+    if '--kanchor' in sys.argv:
+        kanchor = int(sys.argv[sys.argv.index('--kanchor') + 1])
+    if '--model' in sys.argv:
+        model_name = sys.argv[sys.argv.index('--model') + 1]
+    if '--batch' in sys.argv:
+        batch = int(sys.argv[sys.argv.index('--batch') + 1])
     if '--summarize-only' not in sys.argv:
-        run_flagship(train=train)
+        run_flagship(train=train, kanchor=kanchor, model_name=model_name,
+                     batch=batch)
     summarize(topk)
