@@ -876,6 +876,271 @@ def _bwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
             precision=prec)                                    # [kg*C, D] f32
 
 
+# ---------------------------------------------------------------------------
+# Split backward: the one-kernel backward (_bwd_gather_w_kernel) juggles four
+# big VMEM scratches (fs, dFs, dacc, dgs) plus the select + five GEMM kinds
+# in ONE inner loop; on the tp=4 strided layers it measured 2.4-3.3x the
+# forward where MACs predict ~2.1x, and stage ablation
+# (scripts/ablate_wbwd.py, B1L0 b12: full 16.1 ms, nodg 8.1, nof2 9.7)
+# showed the two inner-loop halves each cost far above their GEMM floor —
+# the classic too-many-live-values register-spill signature. The two halves
+# are INDEPENDENT: dtab needs (dout, w2, bd) and dW2 needs (table, bd,
+# dout); splitting them into two kernels costs one extra select + wp dot
+# and halves each kernel's scratch set. Measured B1L0 b12: 16.1 -> 9.2 ms.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel_dtab(gx8_ref, idx_ref, rk8k_ref, w2_ref, dout_ref, dtab_ref,
+                     dFs, dacc, dgs, *, sigma, tp, kt, nt, n_sub, ac, c, d,
+                     pair=1):
+    """dTable half: dF slabs from (dout @ W^T), dg rows via BD^T, transposed
+    one-hot accumulate. No table select, no f recompute, no fs scratch.
+
+    tp=4 alignment: the per-(a, st) dg GEMM needs dF rows at offsets
+    a*t + st*tp — 4-row sublane starts that Mosaic services as misaligned
+    narrow reads (measured as half the one-kernel backward's cost,
+    scripts/ablate_wbwd.py). The VMEM read is batched over SUBTILE PAIRS
+    ([K~, 8, C] at 8-aligned starts) and each subtile's [K~, TP, C] half is
+    sliced in registers. ((a, st)-major dFs with k-paired writes would make
+    the reads fully contiguous, but Mosaic rejects the dim-1 concat that
+    write needs: "result/input offset mismatch on non-concat dimension".)"""
+    gdt = dout_ref.dtype
+    prec = _precision(gdt)
+    pt = pl.program_id(2)
+
+    @pl.when(pt == 0)
+    def _zero_dtab():
+        dtab_ref[...] = jnp.zeros_like(dtab_ref)
+
+    idxv = idx_ref[0, 0]
+    rows = idxv.shape[0]
+    qp = dtab_ref.shape[1]
+    iot = jax.lax.broadcasted_iota(jnp.int32, (rows, qp), 1)
+    s_onehot = (iot == idxv[:, None]).astype(gdt)
+    s = tp * nt
+    t = n_sub * tp
+    for a in range(ac):
+        dacc[a * t:(a + 1) * t, :] = dout_ref[0, :, a * d:(a + 1) * d]
+    kg = _pick_kg(kt, c)
+    for k0 in range(0, kt, kg):
+        blk = jax.lax.dot_general(
+            dacc[:], w2_ref[k0 * c:(k0 + kg) * c, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(gdt)                        # [AC*T, kg*C]
+        for i in range(kg):
+            dFs[k0 + i] = blk[:, i * c:(i + 1) * c]
+    r = tp * kt
+    # read dF in 8-row-aligned subtile groups, slice per subtile in registers
+    stg = 1 if tp >= 8 else 8 // tp
+    for g in range(ac // pair):
+        wp_all = jax.lax.dot_general(
+            rk8k_ref[g], gx8_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                                 # [pair*R, T*N~]
+        for st0 in range(0, n_sub, stg):
+            dfg = [None] * pair
+            for i in range(pair):
+                a = g * pair + i
+                dfg[i] = dFs[:, a * t + st0 * tp:
+                             a * t + (st0 + stg) * tp, :]   # [K~, 8, C]
+            for sj in range(stg):
+                st = st0 + sj
+                wp = wp_all[:, st * s:(st + 1) * s]         # [pair*R, S]
+                bd = jnp.maximum(wp, 0.0).astype(gdt)
+                for i in range(pair):
+                    a = g * pair + i
+                    bd_a = bd[i * r:(i + 1) * r, :]         # [R, S]
+                    dfi = (dfg[i] if stg == 1
+                           else dfg[i][:, sj * tp:(sj + 1) * tp, :])
+                    dg_sub = jax.lax.dot_general(
+                        bd_a, dfi.reshape(kt * tp, c),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec).astype(gdt)            # [S, C]
+                    dgs[st * s:(st + 1) * s, a * c:(a + 1) * c] = dg_sub
+    dtab_ref[0] += jax.lax.dot_general(
+        s_onehot, dgs[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec)                                        # [Q~, AC*C]
+
+
+def _bwd_kernel_dw2(gx8_ref, idx_ref, tab_ref, rk8k_ref, dout_ref, dw2_ref,
+                    fs, dacc, *, sigma, tp, kt, nt, n_sub, ac, c, d, pair=1):
+    """dW2 half: select + BD conv recompute f slabs, contract against dout.
+    No dFs/dgs scratches, no dtab block."""
+    gdt = tab_ref.dtype
+    prec = _precision(gdt)
+    first_all = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+                 & (pl.program_id(2) == 0))
+
+    @pl.when(first_all)
+    def _zero_dw2():
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+
+    idxv = idx_ref[0, 0]
+    rows = idxv.shape[0]
+    qp = tab_ref.shape[1]
+    iot = jax.lax.broadcasted_iota(jnp.int32, (rows, qp), 1)
+    s_onehot = (iot == idxv[:, None]).astype(gdt)
+    g_all = jax.lax.dot_general(
+        s_onehot, tab_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec).astype(gdt)                            # [T*N~, AC*C]
+    s = tp * nt
+    t = n_sub * tp
+    grp = max(1, 8 // tp)
+    r = tp * kt
+    for a in range(ac):
+        dacc[a * t:(a + 1) * t, :] = dout_ref[0, :, a * d:(a + 1) * d]
+    for g in range(ac // pair):
+        wp_all = jax.lax.dot_general(
+            rk8k_ref[g], gx8_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                                 # [pair*R, T*N~]
+        pend = [[] for _ in range(pair)]
+        for st in range(n_sub):
+            wp = wp_all[:, st * s:(st + 1) * s]
+            bd = jnp.maximum(wp, 0.0).astype(gdt)
+            g_sub = g_all[st * s:(st + 1) * s,
+                          g * pair * c:(g + 1) * pair * c]
+            f2 = jax.lax.dot_general(
+                bd, g_sub, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec).astype(gdt)                 # [pair*R, pair*C]
+            for i in range(pair):
+                a = g * pair + i
+                f = f2[i * r:(i + 1) * r, i * c:(i + 1) * c]
+                pend[i].append(f.reshape(kt, tp, c))
+                if len(pend[i]) == grp:
+                    blk = (pend[i][0] if grp == 1
+                           else jnp.concatenate(pend[i], axis=1))
+                    off = a * t + (st + 1 - grp) * tp
+                    fs[:, off:off + grp * tp, :] = blk
+                    pend[i] = []
+    kg = _pick_kg(kt, c)
+    for k0 in range(0, kt, kg):
+        lhs = (fs[k0] if kg == 1 else jnp.concatenate(
+            [fs[k0 + i] for i in range(kg)], axis=1))          # [AC*T, kg*C]
+        dw2_ref[k0 * c:(k0 + kg) * c, :] += jax.lax.dot_general(
+            lhs, dacc[:].astype(gdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+
+def _pick_n_sub_bwd_split(p, tp, kt, nt, c, d, ac, qp, g_itemsize, which):
+    """Tile pick for the split backward kernels: each carries roughly half
+    the one-kernel backward's scratch set, so tiles stay bigger."""
+    grp = max(1, 8 // tp)
+    budget = _VMEM_BUDGET * _BWD_BUDGET_MULT
+    if which == 'dtab':
+        fixed = qp * ac * c * 4 + kt * c * d * g_itemsize
+        per_sub = (16 * tp * nt * 4 + tp * nt * 4
+                   + tp * nt * qp * g_itemsize            # one-hot S
+                   + kt * ac * tp * max(c, 128) * g_itemsize  # dFs slab
+                   + tp * ac * d * g_itemsize             # dacc rows
+                   + tp * nt * ac * c * g_itemsize)       # dgs rows
+    else:
+        fixed = qp * ac * c * g_itemsize + kt * c * d * 4
+        per_sub = (16 * tp * nt * 4 + tp * nt * 4
+                   + tp * nt * qp * g_itemsize
+                   + 2 * tp * nt * ac * c * g_itemsize    # gathered g
+                   + kt * ac * tp * max(c, 128) * g_itemsize  # fs slab
+                   + tp * ac * d * g_itemsize)            # dacc rows
+    n_sub = max(grp, (budget - 2 * fixed) // (2 * per_sub))
+    n_sub = min(n_sub, p // tp)
+    while n_sub >= grp and ((p // tp) % n_sub != 0 or n_sub % grp != 0):
+        n_sub -= 1
+    return n_sub if n_sub >= grp else 0
+
+
+def _call_gather_w_bwd_split(gx8, idx3, tab, rk8k, w2, dout, sigma, tp, kt,
+                             nt, ac, interpret, c, d):
+    """Two-kernel backward (see the split rationale above)."""
+    b = gx8.shape[0]
+    na = rk8k.shape[0]
+    qp = tab.shape[1]
+    p = gx8.shape[2] // nt
+    gdt = tab.dtype
+    isz = jnp.dtype(gdt).itemsize
+    pair = _pick_pair(ac, c)
+    rk8k_p = _pair_rk8k(rk8k, tp * kt) if pair > 1 else rk8k
+    r = tp * kt
+
+    n1 = _pick_n_sub_bwd_split(p, tp, kt, nt, c, d, ac, qp, isz, 'dtab')
+    assert n1 > 0, (p, tp, kt, nt, c, d, ac, qp)
+    t1 = n1 * tp
+    dtab = pl.pallas_call(
+        functools.partial(_bwd_kernel_dtab, sigma=float(sigma), tp=tp,
+                          kt=kt, nt=nt, n_sub=n1, ac=ac, c=c, d=d,
+                          pair=pair),
+        grid=(b, na // ac, p // t1),
+        in_specs=[
+            pl.BlockSpec((1, 16, t1 * nt), lambda bb, ci, pt: (bb, 0, pt)),
+            pl.BlockSpec((1, 1, t1 * nt), lambda bb, ci, pt: (bb, 0, pt)),
+            pl.BlockSpec((ac // pair, 16, pair * r),
+                         lambda bb, ci, pt: (ci, 0, 0)),
+            pl.BlockSpec((kt * c, d), lambda bb, ci, pt: (0, 0)),
+            pl.BlockSpec((1, t1, ac * d), lambda bb, ci, pt: (bb, pt, ci)),
+        ],
+        out_specs=pl.BlockSpec((1, qp, ac * c),
+                               lambda bb, ci, pt: (bb, 0, ci)),
+        out_shape=jax.ShapeDtypeStruct((b, qp, na * c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((kt, ac * t1, c), gdt),
+                        pltpu.VMEM((ac * t1, d), gdt),
+                        pltpu.VMEM((t1 * nt, ac * c), gdt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * b * p * na * r * nt * c
+                   + 2 * b * p * nt * qp * na * c
+                   + 2 * b * p * na * kt * c * d),
+            bytes_accessed=(b * qp * na * c * 4 + b * p * na * d * isz),
+            transcendentals=0),
+        interpret=interpret,
+    )(gx8, idx3, rk8k_p, w2, dout)
+
+    n2 = _pick_n_sub_bwd_split(p, tp, kt, nt, c, d, ac, qp, isz, 'dw2')
+    assert n2 > 0, (p, tp, kt, nt, c, d, ac, qp)
+    t2 = n2 * tp
+    dw2 = pl.pallas_call(
+        functools.partial(_bwd_kernel_dw2, sigma=float(sigma), tp=tp,
+                          kt=kt, nt=nt, n_sub=n2, ac=ac, c=c, d=d,
+                          pair=pair),
+        grid=(b, na // ac, p // t2),
+        in_specs=[
+            pl.BlockSpec((1, 16, t2 * nt), lambda bb, ci, pt: (bb, 0, pt)),
+            pl.BlockSpec((1, 1, t2 * nt), lambda bb, ci, pt: (bb, 0, pt)),
+            pl.BlockSpec((1, qp, ac * c), lambda bb, ci, pt: (bb, 0, ci)),
+            pl.BlockSpec((ac // pair, 16, pair * r),
+                         lambda bb, ci, pt: (ci, 0, 0)),
+            pl.BlockSpec((1, t2, ac * d), lambda bb, ci, pt: (bb, pt, ci)),
+        ],
+        out_specs=pl.BlockSpec((kt * c, d), lambda bb, ci, pt: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((kt * c, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((kt, ac * t2, c), gdt),
+                        pltpu.VMEM((ac * t2, d), gdt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * b * p * na * r * nt * c
+                   + 2 * b * p * nt * qp * na * c
+                   + 2 * b * p * na * kt * c * d),
+            bytes_accessed=(tab.size * isz + b * p * na * d * isz),
+            transcendentals=0),
+        interpret=interpret,
+    )(gx8, idx3, tab, rk8k_p, dout)
+    return dtab, dw2
+
+
+# split backward on the tp<8 (strided 32-neighbor) layers, where the
+# one-kernel form measured 2.4-3.3x the forward; tp=8 layers stay on the
+# one-kernel form (B0L1 ratio 1.81, and the split costs an extra select)
+_BWD_SPLIT_TP_MAX = 4
+
+
 def _call_gather_w_bwd(gx8, idx3, tab, rk8k, w2, dout, sigma, tp, kt, nt,
                        ac, interpret, c, d):
     b = gx8.shape[0]
@@ -968,7 +1233,9 @@ def _fgcw_bwd(sigma, tp, kt, nt, ac, interpret, res, dout):
     gdt = table.dtype
     prec = _precision(gdt)
     if _USE_FUSED_BWD:
-        dtab32, dw32 = _call_gather_w_bwd(
+        bwd_call = (_call_gather_w_bwd_split if tp <= _BWD_SPLIT_TP_MAX
+                    else _call_gather_w_bwd)
+        dtab32, dw32 = bwd_call(
             gx8, idx3, table, rk8k, w2, dout.astype(gdt), sigma, tp, kt,
             nt, ac or na, interpret, c, d)
         return (jnp.zeros_like(gx8),

@@ -60,7 +60,9 @@ def main():
         fwd_ms = device_ms(lambda *a: ic.fused_gather_conv_w(
             a[0], a[1], a[2], a[3], a[4], a[5], SIGMA, tp, kt, nt, AC, False),
             gx8, idx3, tab, rk8k, rk8, w2)
-        bwd_ms = device_ms(lambda *a: ic._call_gather_w_bwd(
+        bwd_call = (ic._call_gather_w_bwd_split
+                    if tp <= ic._BWD_SPLIT_TP_MAX else ic._call_gather_w_bwd)
+        bwd_ms = device_ms(lambda *a: bwd_call(
             a[0], a[1], a[2], a[3], a[4], a[5], SIGMA, tp, kt, nt, AC, False, c, d),
             gx8, idx3, tab, rk8k, w2, dout)
         print(f'{name}: fwd {fwd_ms:6.2f} ms   bwd {bwd_ms:6.2f} ms   ratio {bwd_ms/max(fwd_ms,1e-9):.2f}')

@@ -238,6 +238,9 @@ def test_layer_fusable_gate():
     (1, 16, 32, 5, 30, 64, 128, 33),
     # even AC + c<128: exercises the anchor-paired BD GEMM path (_PAIR)
     (2, 32, 12, 4, 24, 64, 48, 61),
+    # nn=32 (tp=4) + even AC + c<128: the SPLIT backward with pairing
+    # (the B1L0 production shape class; see inter_conv._BWD_SPLIT_TP_MAX)
+    (2, 16, 32, 4, 24, 64, 64, 33),
 ])
 def test_gather_conv_w_kernel_vs_oracle(B, P, N, AC, K, C, D, Q):
     """fused_gather_conv_w (megagather + BD conv + learned GEMM in one
