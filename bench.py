@@ -1,14 +1,39 @@
-"""Benchmark: flagship-model inference throughput on one chip.
+"""Benchmark: EPN TPU rebuild contract metrics on one chip.
 
-Prints ONE JSON line:
+Prints JSON lines (one per metric), each of the form
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+flushed IMMEDIATELY as each metric completes (so a timeout preserves the
+metrics already measured).  The headline inference metric is printed first
+and RE-printed after every later metric so the LAST stdout line is always
+the headline for last-line parsers.
 
-Workload: BASELINE.json configs[1] — ModelNet40 classification, full
-60-anchor icosahedral group, 1024-point clouds, batch 32, single chip.
+Workloads (BASELINE.md):
+  - ModelNet40 classification inference, 60 anchors, 1024 pts, b32 (headline)
+  - training step b12 (attention loss)
+  - 3DMatch descriptor extraction b48 (inv_so3net_pn)
+  - rotation regression pair b8 (reg_so3net)
+  - end-to-end trainer wall clock (host pipeline + device step)
+
+Timing methodology (see CLAUDE.md): `block_until_ready()` does NOT reliably
+wait on this tunnel backend (measured 3000x under-report), so every bench
+serializes its iterations with a `lax.scan` data-dependency chain and pays
+exactly one `float()` host readback — which cannot lie, because it returns
+the value.  The ~25 ms tunnel round trip is measured and subtracted.  The
+chain measurement is cross-checked against k independent chain dispatches
+with one readback each; disagreement beyond 10% is flagged on stderr.
+
+Wall-clock strategy: compiles on this backend go through a remote helper at
+~80-120 s per full-model executable and DO run in parallel across threads
+(the local JAX compilation cache is slower than the remote compiler here —
+loading a cached 78 MB binary through the tunnel costs more than compiling
+remotely — so it is deliberately not used).  The script therefore traces
+every workload first, compiles all executables concurrently, then runs the
+timings serially, and a total-time budget (BENCH_TIME_BUDGET seconds,
+default 520) skips remaining secondary metrics rather than dying to an
+external timeout.
+
 vs_baseline is measured against the driver target of 10,000 clouds/sec/chip
 (the reference publishes no throughput numbers; BASELINE.md).
-
-Extra per-config numbers go to stderr; the JSON contract line is stdout.
 """
 
 from __future__ import annotations
@@ -17,79 +42,182 @@ import json
 import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 TARGET_CLOUDS_PER_SEC = 10_000.0
+T_START = time.perf_counter()
+BUDGET = float(os.environ.get('BENCH_TIME_BUDGET', 520))
+
+_RTT = None
 
 
-def bench_forward(batch=32, input_num=1024, kanchor=60, iters=20, warmup=3):
+def elapsed():
+    return time.perf_counter() - T_START
+
+
+def note(msg):
+    print(f'[bench] +{elapsed():.0f}s {msg}', file=sys.stderr, flush=True)
+
+
+def tunnel_rtt():
+    """Measured host<->device round-trip of one tiny dispatch + readback
+    (~25 ms on the axon tunnel); subtracted from chain timings."""
+    global _RTT
+    if _RTT is None:
+        import jax
+        import jax.numpy as jnp
+        f = jax.jit(lambda i: i + 1.0)
+        x = jnp.float32(0.0)
+        float(f(x))                       # compile
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            x = f(x)
+            float(x)
+            ts.append(time.perf_counter() - t0)
+        _RTT = min(ts)
+        note(f'tunnel rtt {_RTT * 1e3:.1f} ms')
+    return _RTT
+
+
+def emit(metric, value, unit):
+    line = json.dumps({'metric': metric, 'value': round(value, 2),
+                       'unit': unit,
+                       'vs_baseline': round(value / TARGET_CLOUDS_PER_SEC, 4)})
+    print(line, flush=True)
+    return line
+
+
+# --------------------------------------------------------------------- plans
+# A plan is traced+lowered up front (host-only), its executables compiled in
+# parallel with every other plan's, and its runner invoked serially after.
+
+def _chain_of(apply_out, iters):
+    """variables, x -> scalar; iterations serialized by a data dependency
+    that provably rounds away in fp32 yet cannot be DCE'd."""
+    import jax
+    import jax.numpy as jnp
+
+    def chain(variables, x):
+        def body(c, _):
+            out = apply_out(variables, c)
+            dep = (jnp.mean(out.astype(jnp.float32)) * 1e-24).astype(c.dtype)
+            return c + dep, ()
+        c, _ = jax.lax.scan(body, x, None, length=iters)
+        return jnp.sum(c)
+    return chain
+
+
+def _time_chain(compiled_chain, variables, x, iters, tag, crosscheck=0):
+    rtt = tunnel_rtt()
+    float(compiled_chain(variables, x))            # warm (executable upload)
+    t0 = time.perf_counter()
+    float(compiled_chain(variables, x))
+    dt_chain = (time.perf_counter() - t0 - rtt) / iters
+    if crosscheck:
+        # independent method: k separate dispatches, one readback each
+        t0 = time.perf_counter()
+        for _ in range(crosscheck):
+            float(compiled_chain(variables, x))
+        dt_rb = ((time.perf_counter() - t0) / crosscheck - rtt) / iters
+        rel = abs(dt_rb - dt_chain) / max(dt_chain, 1e-9)
+        status = 'OK' if rel <= 0.10 else 'MISMATCH'
+        note(f'{tag}: chain {dt_chain * 1e3:.2f} ms/iter, per-dispatch '
+             f'readback {dt_rb * 1e3:.2f} ms/iter ({rel * 100:.1f}% apart, '
+             f'{status})')
+    else:
+        note(f'{tag}: chain {dt_chain * 1e3:.2f} ms/iter')
+    return dt_chain
+
+
+def _model_plan(model_name, batch, input_num, kanchor, iters, x_np,
+                extra_opt=None, out_index=0):
+    """Forward-throughput plan for one of the three models."""
     import jax
     import jax.numpy as jnp
     from epn_pointcloud_tpu import models
     from epn_pointcloud_tpu.app.config import default_opt
-    from epn_pointcloud_tpu.ops import so3conv
 
-    # production precision: bf16 neighbor-feature stream + conv weights with
-    # fp32 accumulation (parity tests run the fp32 default)
-    so3conv.set_compute_dtype('bf16')
-    so3conv.set_remat(False)  # inference: no activation memory to save
+    opt_kw = {'model.model': model_name, 'model.input_num': input_num,
+              'model.kanchor': kanchor}
+    opt_kw.update(extra_opt or {})
+    model = models.build_model_from(default_opt(**opt_kw))
 
-    opt = default_opt(**{'model.model': 'cls_so3net_pn',
-                         'model.input_num': input_num,
-                         'model.kanchor': kanchor,
-                         'model.flag': 'attention'})
-    model = models.build_model_from(opt)
+    def init_fn(r, x):
+        return model.init(r, x, train=False)
+
+    def apply_out(variables, x):
+        out = model.apply(variables, x, train=False)
+        return out[out_index] if isinstance(out, tuple) else out
+
+    key_sds = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    x_sds = jax.ShapeDtypeStruct(x_np.shape, jnp.float32)
+    var_sds = jax.eval_shape(init_fn, key_sds, x_sds)
+    lowered = {
+        'init': jax.jit(init_fn).lower(key_sds, x_sds),
+        'chain': jax.jit(_chain_of(apply_out, iters)).lower(var_sds, x_sds),
+    }
+
+    def run(compiled, crosscheck=0, tag=model_name):
+        import jax
+        x = jnp.asarray(x_np)
+        variables = compiled['init'](jax.random.PRNGKey(0), x)
+        dt = _time_chain(compiled['chain'], variables, x, iters, tag,
+                         crosscheck)
+        return batch / dt, dt
+
+    return lowered, run
+
+
+def plan_forward(batch=32, input_num=1024, kanchor=60, iters=20):
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(batch, input_num, 3).astype(np.float32))
-    init_fn = jax.jit(lambda rng, x: model.init(rng, x, train=False))
-    variables = init_fn(jax.random.PRNGKey(0), x)
-
-    @jax.jit
-    def fwd(x):
-        logits, _ = model.apply(variables, x, train=False)
-        return logits
-
-    # compile + warmup
-    for _ in range(warmup):
-        fwd(x).block_until_ready()
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(x)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt, dt
+    x_np = rng.randn(batch, input_num, 3).astype(np.float32)
+    return _model_plan('cls_so3net_pn', batch, input_num, kanchor, iters,
+                       x_np, {'model.flag': 'attention'})
 
 
-def bench_train(batch=12, input_num=1024, kanchor=60, iters=10):
-    """Training-step throughput at the reference training batch
-    (run_modelnet.py:10) — reported to stderr when BENCH_EXTRA=1."""
+def plan_descriptor(batch=48, input_num=1024, kanchor=60, iters=10):
+    rng = np.random.RandomState(0)
+    x_np = (rng.randn(batch, input_num, 3) * 0.2).astype(np.float32)
+    return _model_plan('inv_so3net_pn', batch, input_num, kanchor, iters,
+                       x_np, {'model.search_radius': 0.4,
+                              'model.flag': 'attention'})
+
+
+def plan_rotation(batch=8, input_num=1024, kanchor=60, iters=10):
+    rng = np.random.RandomState(0)
+    x_np = rng.randn(batch, 2, input_num, 3).astype(np.float32)
+    return _model_plan('reg_so3net', batch, input_num, kanchor, iters,
+                       x_np, {'model.representation': 'quat'})
+
+
+def plan_train(batch=12, input_num=1024, kanchor=60, iters=10):
+    """Training-step plan at the reference training batch
+    (run_modelnet.py:10).  NOTE: traced with remat ON (caller sets it)."""
     from functools import partial
     import jax
     import jax.numpy as jnp
     from epn_pointcloud_tpu import losses, models
     from epn_pointcloud_tpu.app.config import default_opt
-    from epn_pointcloud_tpu.ops import so3conv
     from epn_pointcloud_tpu.parallel import create_train_state, make_lr_schedule
-
-    so3conv.set_compute_dtype('bf16')   # production precision
-    so3conv.set_remat(True)             # training: save activation memory
 
     opt = default_opt(**{'model.model': 'cls_so3net_pn',
                          'model.input_num': input_num,
                          'model.kanchor': kanchor,
                          'model.flag': 'attention'})
+    import optax
     model = models.build_model_from(opt)
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(batch, input_num, 3).astype(np.float32))
-    label = jnp.asarray(rng.randint(0, 40, batch))
-    rlabel = jnp.asarray(rng.randint(0, kanchor, batch))
-    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
-        jax.random.PRNGKey(0), x)
-    state = create_train_state(model, variables, make_lr_schedule(1e-3))
+    sched = make_lr_schedule(1e-3)
+    # one shared optax transform: treedef equality compares its closures by
+    # identity, so the eval_shape state and the concrete state must use the
+    # same instance or the AOT-compiled chain rejects the call
+    tx = optax.adam(sched, b1=0.9, b2=0.999, eps=1e-8)
 
-    @partial(jax.jit, donate_argnums=(0,))
+    def init_fn(r, x):
+        return model.init(r, x, train=False)
+
     def train_step(state, pc, label, rlabel):
         def loss_fn(params):
             (pred, feat), mut = state.apply_fn(
@@ -103,106 +231,52 @@ def bench_train(batch=12, input_num=1024, kanchor=60, iters=10):
         state = state.apply_gradients(grads=grads)
         return state.replace(batch_stats=mut['batch_stats']), aux['cls_loss']
 
-    # Chain `iters` steps inside ONE dispatch (lax.scan with the state as
-    # carry): per-call dispatch through the device tunnel is heavy for a
-    # donated state pytree and would otherwise dominate wall time.
-    @partial(jax.jit, donate_argnums=(0,))
     def train_chain(state, pc, label, rlabel):
         def body(st, _):
             st, loss = train_step(st, pc, label, rlabel)
             return st, loss
         return jax.lax.scan(body, state, None, length=iters)
 
-    state, loss = train_step(state, x, label, rlabel)  # warm the body
-    state, losses_ = train_chain(state, x, label, rlabel)
-    float(losses_[-1])                                 # compile + warmup
-    t0 = time.perf_counter()
-    state, losses_ = train_chain(state, x, label, rlabel)
-    float(losses_[-1])
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt, dt
+    key_sds = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    x_sds = jax.ShapeDtypeStruct((batch, input_num, 3), jnp.float32)
+    lab_sds = jax.ShapeDtypeStruct((batch,), jnp.int32)
+    var_sds = jax.eval_shape(init_fn, key_sds, x_sds)
+    state_sds = jax.eval_shape(
+        lambda v: create_train_state(model, v, sched, tx=tx), var_sds)
+    lowered = {
+        'init': jax.jit(init_fn).lower(key_sds, x_sds),
+        'chain': partial(jax.jit, donate_argnums=(0,))(train_chain).lower(
+            state_sds, x_sds, lab_sds, lab_sds),
+    }
 
+    def run(compiled, crosscheck=0, tag='train'):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(batch, input_num, 3).astype(np.float32))
+        label = jnp.asarray(rng.randint(0, 40, batch), jnp.int32)
+        rlabel = jnp.asarray(rng.randint(0, kanchor, batch), jnp.int32)
+        variables = compiled['init'](jax.random.PRNGKey(0), x)
+        state = create_train_state(model, variables, sched, tx=tx)
+        rtt = tunnel_rtt()
+        state, losses_ = compiled['chain'](state, x, label, rlabel)
+        float(losses_[-1])                         # warm
+        t0 = time.perf_counter()
+        state, losses_ = compiled['chain'](state, x, label, rlabel)
+        float(losses_[-1])
+        dt = (time.perf_counter() - t0 - rtt) / iters
+        return batch / dt, dt
 
-def bench_descriptor_extraction(batch=48, input_num=1024, kanchor=60,
-                                iters=10):
-    """3DMatch patch-descriptor extraction throughput (BASELINE configs[3]:
-    inv_so3net_pn, radius-0.4 patches)."""
-    import jax
-    import jax.numpy as jnp
-    from epn_pointcloud_tpu import models
-    from epn_pointcloud_tpu.app.config import default_opt
-    from epn_pointcloud_tpu.ops import so3conv
-
-    so3conv.set_compute_dtype('bf16')
-    so3conv.set_remat(False)
-
-    opt = default_opt(**{'model.model': 'inv_so3net_pn',
-                         'model.input_num': input_num,
-                         'model.kanchor': kanchor,
-                         'model.search_radius': 0.4,
-                         'model.flag': 'attention'})
-    model = models.build_model_from(opt)
-    rng = np.random.RandomState(0)
-    x = jnp.asarray((rng.randn(batch, input_num, 3) * 0.2).astype(np.float32))
-    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
-        jax.random.PRNGKey(0), x)
-
-    @jax.jit
-    def fwd(x):
-        return model.apply(variables, x, train=False)[0]
-
-    fwd(x).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(x)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt, dt
-
-
-def bench_rotation(batch=8, input_num=1024, kanchor=60, iters=10):
-    """Relative-rotation regression forward throughput (BASELINE rotation-
-    alignment workload: reg_so3net, pair input, run_modelnet_rotation.py
-    defaults b8)."""
-    import jax
-    import jax.numpy as jnp
-    from epn_pointcloud_tpu import models
-    from epn_pointcloud_tpu.app.config import default_opt
-    from epn_pointcloud_tpu.ops import so3conv
-
-    so3conv.set_compute_dtype('bf16')
-    so3conv.set_remat(False)
-
-    opt = default_opt(**{'model.model': 'reg_so3net',
-                         'model.input_num': input_num,
-                         'model.kanchor': kanchor,
-                         'model.representation': 'quat'})
-    model = models.build_model_from(opt)
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(batch, 2, input_num, 3).astype(np.float32))
-    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
-        jax.random.PRNGKey(0), x)
-
-    @jax.jit
-    def fwd(x):
-        conf, y = model.apply(variables, x, train=False)
-        return conf
-
-    fwd(x).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(x)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt, dt
+    return lowered, run
 
 
 def bench_train_e2e(batch=12, iters=30):
     """END-TO-END trainer wall-clock (host data pipeline + dispatch +
     device step + deferred metrics) through the real TrainerModelNet loop
-    on a synthetic on-disk dataset — the number a user's training job sees,
-    vs bench_train's pure device step."""
+    on a synthetic on-disk dataset — the number a user's training job sees.
+    Trustworthy without chaining: the donated train state serializes
+    consecutive steps, and the final param readback closes the window."""
     import tempfile
+
+    os.environ['EPN_LOG_STREAM'] = 'stderr'  # keep stdout JSON-clean
 
     import jax
     from epn_pointcloud_tpu.app.config import default_opt
@@ -220,10 +294,16 @@ def bench_train_e2e(batch=12, iters=30):
                          'steps_per_dispatch': 8,
                          'experiment_id': 'bench_e2e'})
     opt.batch_size = batch
+
+    def param_scalar(trainer):
+        # host readback of one param element: forces every queued step to
+        # complete (block_until_ready is not reliable on this tunnel)
+        leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+        return float(leaf.reshape(-1)[0])
+
     trainer = TrainerModelNet(opt)
-    for _ in range(2):                        # compile + warm the pipeline
-        trainer.step()
-    jax.block_until_ready(trainer.state.params)
+    trainer.step()                                # compile + warm pipeline
+    param_scalar(trainer)
     t0 = time.perf_counter()
     done = 0
     while done < iters:
@@ -234,78 +314,124 @@ def bench_train_e2e(batch=12, iters=30):
         if done % 12 == 0:
             trainer._print_running_stats(f'bench iter {done}')
         done += consumed
-    jax.block_until_ready(trainer.state.params)
-    dt = (time.perf_counter() - t0) / done
+    param_scalar(trainer)
+    dt = (time.perf_counter() - t0 - tunnel_rtt()) / done
     return batch / dt, dt
 
 
 def main():
-    clouds_per_sec, step_time = bench_forward()
-    print(f'[bench] step_time={step_time * 1e3:.2f} ms  '
-          f'throughput={clouds_per_sec:.1f} clouds/s', file=sys.stderr)
+    only = set(sys.argv[1:])  # e.g. `python bench.py forward train`
 
-    # secondary contract metrics (train + descriptor extraction): emitted as
-    # additional stdout JSON lines BEFORE the primary line, so a last-line
-    # parser still records the headline inference metric
-    extra_lines = []
-    try:
-        tput, dt = bench_train()
-        print(f'[bench] train step_time={dt * 1e3:.1f} ms  '
-              f'throughput={tput:.1f} clouds/s (b12, attention)',
-              file=sys.stderr)
-        extra_lines.append({
-            'metric': 'modelnet40_cls_60anchor_b12_1024pt_train_throughput',
-            'value': round(tput, 2), 'unit': 'clouds/sec/chip',
-            'vs_baseline': round(tput / TARGET_CLOUDS_PER_SEC, 4)})
-    except Exception as e:  # never break the JSON contract
-        print(f'[bench] train bench skipped: {e}', file=sys.stderr)
-    try:
-        dput, ddt = bench_descriptor_extraction()
-        print(f'[bench] 3dmatch descriptor extraction '
-              f'{dput:.1f} patches/s ({ddt * 1e3:.1f} ms @ b48)',
-              file=sys.stderr)
-        extra_lines.append({
-            'metric': '3dmatch_inv_60anchor_b48_1024pt_descriptor_throughput',
-            'value': round(dput, 2), 'unit': 'patches/sec/chip',
-            'vs_baseline': round(dput / TARGET_CLOUDS_PER_SEC, 4)})
-    except Exception as e:
-        print(f'[bench] descriptor bench skipped: {e}', file=sys.stderr)
-    try:
-        gput, gdt = bench_rotation()
-        print(f'[bench] rotation alignment (reg_so3net, pair b8): '
-              f'{gput:.1f} pairs/s ({gdt * 1e3:.1f} ms)', file=sys.stderr)
-        extra_lines.append({
-            'metric': 'modelnet_rot_reg_60anchor_b8_1024pt_pair_throughput',
-            'value': round(gput, 2), 'unit': 'pairs/sec/chip',
-            'vs_baseline': round(gput / TARGET_CLOUDS_PER_SEC, 4)})
-    except Exception as e:
-        print(f'[bench] rotation bench skipped: {e}', file=sys.stderr)
-    try:
-        eput, edt = bench_train_e2e()
-        print(f'[bench] end-to-end trainer loop {edt * 1e3:.1f} '
-              f'ms/iter wall ({eput:.1f} clouds/s incl. host pipeline)',
-              file=sys.stderr)
-        extra_lines.append({
-            'metric': 'modelnet40_cls_train_end_to_end_wall_throughput',
-            'value': round(eput, 2), 'unit': 'clouds/sec/chip',
-            'vs_baseline': round(eput / TARGET_CLOUDS_PER_SEC, 4)})
-    except Exception as e:  # never break the JSON contract
-        print(f'[bench] e2e trainer bench skipped: {e}', file=sys.stderr)
+    def want(name, cost_s=60.0):
+        if only and name not in only:
+            return False
+        if not only and elapsed() + cost_s > BUDGET and name != 'forward':
+            note(f'skipping {name}: {elapsed():.0f}s elapsed + ~{cost_s:.0f}s '
+                 f'> budget {BUDGET:.0f}s (partial run; see STATUS.md)')
+            return False
+        note(f'starting {name}')
+        return True
 
-    if os.environ.get('BENCH_EXTRA'):
-        rput, rdt = bench_forward(kanchor=20)
-        print(f'[bench-extra] reduced config kanchor=20: '
-              f'{rput:.1f} clouds/s ({rdt * 1e3:.1f} ms @ b32)',
-              file=sys.stderr)
+    from epn_pointcloud_tpu.ops import so3conv
 
-    for line in extra_lines:
-        print(json.dumps(line))
-    print(json.dumps({
-        'metric': 'modelnet40_cls_60anchor_b32_1024pt_inference_throughput',
-        'value': round(clouds_per_sec, 2),
-        'unit': 'clouds/sec/chip',
-        'vs_baseline': round(clouds_per_sec / TARGET_CLOUDS_PER_SEC, 4),
-    }))
+    # production precision: bf16 neighbor-feature stream + conv weights with
+    # fp32 accumulation (parity tests run the fp32 default)
+    so3conv.set_compute_dtype('bf16')
+
+    # ---------------- phase 1: trace + lower every selected workload (host)
+    plans = {}
+    so3conv.set_remat(False)        # inference plans
+    for name, builder in (('forward', plan_forward),
+                          ('descriptor', plan_descriptor),
+                          ('rotation', plan_rotation)):
+        if not only or name in only:
+            plans[name] = builder()
+            note(f'traced {name}')
+    if not only or 'train' in only:
+        so3conv.set_remat(True)     # training: save activation memory
+        plans['train'] = plan_train()
+        so3conv.set_remat(False)
+        note('traced train')
+
+    # ---------------- phase 2: compile all executables concurrently
+    # (remote compile helper parallelizes; measured ~2x with 2 threads)
+    jobs = [(name, key, low)
+            for name, (lowered, _) in plans.items()
+            for key, low in lowered.items()]
+    compiled = {name: {} for name in plans}
+    if jobs:
+        with ThreadPoolExecutor(min(8, len(jobs))) as ex:
+            futs = {ex.submit(low.compile): (name, key)
+                    for name, key, low in jobs}
+            for fut, (name, key) in futs.items():
+                compiled[name][key] = fut.result()
+        note(f'compiled {len(jobs)} executables')
+
+    # ---------------- phase 3: run timings serially
+    headline_line = None
+
+    def emit_secondary(metric, value, unit):
+        emit(metric, value, unit)
+        # re-print the headline after every metric so the LAST stdout line
+        # is always the headline for last-line parsers, even on a timeout
+        # mid-run (disclosed duplicate; all metric lines above are real)
+        if headline_line is not None:
+            print(headline_line, flush=True)
+
+    if 'forward' in plans:
+        _, run = plans['forward']
+        clouds_per_sec, step_time = run(compiled['forward'], crosscheck=3,
+                                        tag='forward k60 b32')
+        note(f'step_time={step_time * 1e3:.2f} ms  '
+             f'throughput={clouds_per_sec:.1f} clouds/s')
+        headline_line = emit(
+            'modelnet40_cls_60anchor_b32_1024pt_inference_throughput',
+            clouds_per_sec, 'clouds/sec/chip')
+
+    if 'train' in plans and want('train', 10):
+        try:
+            tput, dt = plans['train'][1](compiled['train'])
+            note(f'train step_time={dt * 1e3:.1f} ms  '
+                 f'throughput={tput:.1f} clouds/s (b12, attention)')
+            emit_secondary(
+                'modelnet40_cls_60anchor_b12_1024pt_train_throughput',
+                tput, 'clouds/sec/chip')
+        except Exception as e:  # never break the JSON contract
+            print(f'[bench] train bench skipped: {e}', file=sys.stderr)
+    if 'descriptor' in plans and want('descriptor', 10):
+        try:
+            dput, ddt = plans['descriptor'][1](compiled['descriptor'],
+                                               tag='descriptor b48')
+            note(f'3dmatch descriptor extraction '
+                 f'{dput:.1f} patches/s ({ddt * 1e3:.1f} ms @ b48)')
+            emit_secondary(
+                '3dmatch_inv_60anchor_b48_1024pt_descriptor_throughput',
+                dput, 'patches/sec/chip')
+        except Exception as e:
+            print(f'[bench] descriptor bench skipped: {e}', file=sys.stderr)
+    if 'rotation' in plans and want('rotation', 10):
+        try:
+            gput, gdt = plans['rotation'][1](compiled['rotation'],
+                                             tag='rotation b8')
+            note(f'rotation alignment (reg_so3net, pair b8): '
+                 f'{gput:.1f} pairs/s ({gdt * 1e3:.1f} ms)')
+            emit_secondary(
+                'modelnet_rot_reg_60anchor_b8_1024pt_pair_throughput',
+                gput, 'pairs/sec/chip')
+        except Exception as e:
+            print(f'[bench] rotation bench skipped: {e}', file=sys.stderr)
+    if (not only and want('e2e', 160)) or (only and 'e2e' in only):
+        try:
+            eput, edt = bench_train_e2e()
+            note(f'end-to-end trainer loop {edt * 1e3:.1f} '
+                 f'ms/iter wall ({eput:.1f} clouds/s incl. host pipeline)')
+            emit_secondary(
+                'modelnet40_cls_train_end_to_end_wall_throughput',
+                eput, 'clouds/sec/chip')
+        except Exception as e:  # never break the JSON contract
+            print(f'[bench] e2e trainer bench skipped: {e}', file=sys.stderr)
+
+    note(f'done in {elapsed():.0f}s')
 
 
 if __name__ == '__main__':

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import logging
+import os
 import sys
 import time
 
@@ -21,7 +22,12 @@ class Logger:
         self.logger.setLevel(log_level)
         self.logger.handlers.clear()
         fmt = logging.Formatter('#%(asctime)s# %(message)s', '%y-%m-%d %H:%M:%S')
-        console = logging.StreamHandler(sys.stdout)
+        # EPN_LOG_STREAM=stderr keeps stdout clean for machine-readable
+        # output (bench.py's JSON metric contract); default matches the
+        # reference's stdout logging (ref: logger.py:11-38)
+        stream = (sys.stderr if os.environ.get('EPN_LOG_STREAM') == 'stderr'
+                  else sys.stdout)
+        console = logging.StreamHandler(stream)
         console.setFormatter(fmt)
         self.logger.addHandler(console)
         if log_file is not None:

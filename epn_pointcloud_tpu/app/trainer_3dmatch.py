@@ -65,9 +65,11 @@ class Trainer3DMatch(Trainer):
             lambda r, x: self.model.init(r, x, train=False))(
             self.next_rng(), x0)
         self.state = create_train_state(self.model, variables, self.lr_schedule)
-        self.state = self.state.replace(
-            params=replicate(self.state.params, self.mesh),
-            batch_stats=replicate(self.state.batch_stats, self.mesh))
+        # replicate the WHOLE state (step/opt_state included): a partially
+        # committed state changes the jit signature after the first step
+        # (outputs come back fully committed), silently recompiling the
+        # entire train step on dispatch 2 (~100 s on this backend)
+        self.state = replicate(self.state, self.mesh)
 
     def _build_steps(self):
         opt = self.opt

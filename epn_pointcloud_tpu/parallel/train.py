@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax.numpy as jnp
 import optax
 from flax import core
 from flax import struct
@@ -33,10 +34,19 @@ def make_lr_schedule(init_lr: float, lr_type: str = 'exp_decay',
     raise ValueError(f'unknown lr_type {lr_type}')
 
 
-def create_train_state(model, variables, lr_schedule) -> TrainState:
-    tx = optax.adam(lr_schedule, b1=0.9, b2=0.999, eps=1e-8)
-    return TrainState.create(
+def create_train_state(model, variables, lr_schedule, tx=None) -> TrainState:
+    # pass a shared `tx` when the state pytree must be structurally equal
+    # across calls (optax transforms hold closures compared by identity in
+    # treedef equality — two adam() instances are different static leaves)
+    if tx is None:
+        tx = optax.adam(lr_schedule, b1=0.9, b2=0.999, eps=1e-8)
+    state = TrainState.create(
         apply_fn=model.apply,
         params=variables['params'],
         batch_stats=variables.get('batch_stats', {}),
         tx=tx)
+    # flax defaults step=0 (python int -> weak-typed i32 under jit); after one
+    # apply_gradients it becomes a strong i32 array, which CHANGES the jit
+    # signature and recompiles the whole train step on call 2 (~100 s of
+    # compile-cache load per training job on this backend). Pin it strong.
+    return state.replace(step=jnp.asarray(0, jnp.int32))
