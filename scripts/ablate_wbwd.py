@@ -152,7 +152,10 @@ def main():
     ap.add_argument('--iters', type=int, default=30)
     ap.add_argument('--variants',
                     default='full,noselect,nodacc,nodfs,nof2,nodg,nodtab,nodw')
+    ap.add_argument('--chunk', type=int, default=AC)
+    ap.add_argument('--mode', default='merged', choices=['merged', 'split'])
     args = ap.parse_args()
+    ac = args.chunk
 
     import jax
     import jax.numpy as jnp
@@ -184,19 +187,25 @@ def main():
         @jax.jit
         def chain(dout0):
             def body(carry, _):
-                dtab, dw = ic._call_gather_w_bwd(
-                    gx8, idx3, tab, rk8k, w2, carry, SIGMA, tp, kt, nt, AC,
+                call = (ic._call_gather_w_bwd_split if args.mode == 'split'
+                        else ic._call_gather_w_bwd)
+                dtab, dw = call(
+                    gx8, idx3, tab, rk8k, w2, carry, SIGMA, tp, kt, nt, ac,
                     False, c, d)
                 nxt = carry * (1.0 + 1e-9 * dtab.mean().astype(carry.dtype))
                 return nxt, dw.mean()
             _, outs = jax.lax.scan(body, dout0, None, length=args.iters)
-            return outs
+            return outs[-1].astype(jnp.float32)
 
-        chain(dout).block_until_ready()
+        # float() readback: block_until_ready does NOT wait on this tunnel
+        # (CLAUDE.md) — the round-3 numbers from this script predate that
+        # discovery and must be re-measured
+        float(chain(dout))
         t0 = time.perf_counter()
-        chain(dout).block_until_ready()
-        dt = (time.perf_counter() - t0) / args.iters
-        print(f'{args.layer} {variant:9s}: {dt * 1e3:7.3f} ms', flush=True)
+        float(chain(dout))
+        dt = (time.perf_counter() - t0 - 0.025) / args.iters
+        print(f'{args.layer} ac={ac} {args.mode} {variant:9s}: '
+              f'{dt * 1e3:7.3f} ms', flush=True)
     ic._bwd_gather_w_kernel = orig
 
 

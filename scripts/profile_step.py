@@ -86,7 +86,7 @@ def run_flagship(train=False, kanchor=60, model_name='cls_so3net_pn',
             out.block_until_ready()
 
 
-def summarize(topk=40):
+def summarize(topk=40, full=False):
     files = glob.glob(TRACE_DIR + '/**/*.trace.json.gz', recursive=True)
     assert files, f'no trace under {TRACE_DIR}'
     path = max(files, key=os.path.getmtime)
@@ -108,8 +108,8 @@ def summarize(topk=40):
             continue
         name = e.get('name', '')
         dur = e.get('dur', 0) / 1e3  # ms
-        # strip fusion suffixes/uids
-        base = re.sub(r'[.\d]+$', '', name)
+        # strip fusion suffixes/uids (keep full names under --full)
+        base = name if full else re.sub(r'[.\d]+$', '', name)
         tot[base] += dur
         cnt[base] += 1
         wall += dur
@@ -137,4 +137,4 @@ if __name__ == '__main__':
     if '--summarize-only' not in sys.argv:
         run_flagship(train=train, kanchor=kanchor, model_name=model_name,
                      batch=batch)
-    summarize(topk)
+    summarize(topk, full='--full' in sys.argv)
