@@ -268,6 +268,21 @@ def plan_train(batch=12, input_num=1024, kanchor=60, iters=10):
     return lowered, run
 
 
+def bench_forward(batch=32, input_num=1024, kanchor=60, iters=20):
+    """Standalone forward-throughput measurement (script API — used by
+    scripts/kanchor_sweep.py). Same chain timing as the contract bench."""
+    from epn_pointcloud_tpu.ops import so3conv
+
+    so3conv.set_compute_dtype('bf16')
+    so3conv.set_remat(False)
+    rng = np.random.RandomState(0)
+    x_np = rng.randn(batch, input_num, 3).astype(np.float32)
+    lowered, run = _model_plan('cls_so3net_pn', batch, input_num, kanchor,
+                               iters, x_np, {'model.flag': 'attention'})
+    compiled = {k: low.compile() for k, low in lowered.items()}
+    return run(compiled, tag=f'forward k{kanchor} b{batch}')
+
+
 def bench_train_e2e(batch=12, iters=30):
     """END-TO-END trainer wall-clock (host data pipeline + dispatch +
     device step + deferred metrics) through the real TrainerModelNet loop

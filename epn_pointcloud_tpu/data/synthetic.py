@@ -144,7 +144,8 @@ def make_modelnet_tree(root: str, n_cats: int = 4, n_train: int = 8,
 
 
 def make_3dmatch_tree(root: str, scene: str = 'synth-scene', n_frags: int = 3,
-                      n_points: int = 4000, n_kpts: int = 32, seed: int = 0):
+                      n_points: int = 4000, n_kpts: int = 32, seed: int = 0,
+                      extent=(3.0, 3.0, 2.0), kpt_margin: float = 0.0):
     """Synthetic 3DMatch-style data with the reference's on-disk contracts:
 
     eval:  <root>/<scene>/cloud_bin_N.ply, 01_Keypoints/cloud_bin_NKeypoints.txt,
@@ -159,7 +160,12 @@ def make_3dmatch_tree(root: str, scene: str = 'synth-scene', n_frags: int = 3,
     from ..ops.rotation import rand_rotation_matrix
     rng = np.random.RandomState(seed)
 
-    room = rng.rand(n_points * 2, 3) * np.array([3.0, 3.0, 2.0])
+    # `extent` controls point density: eval-parity fixtures need every
+    # keypoint's search-radius ball to hold >= input_num REAL points —
+    # duplicate-padded degenerate patches make InstanceNorm (1/sqrt(var+eps)
+    # over near-constant neighborhoods) amplify fp32 noise to ~1e-1
+    # cross-framework descriptor error
+    room = rng.rand(n_points * 2, 3) * np.asarray(extent, np.float64)
     scene_dir = os.path.join(root, scene)
     kp_dir = os.path.join(scene_dir, '01_Keypoints')
     os.makedirs(kp_dir, exist_ok=True)
@@ -172,7 +178,20 @@ def make_3dmatch_tree(root: str, scene: str = 'synth-scene', n_frags: int = 3,
     # every fragment sees a common core (for cross-fragment keypoint
     # correspondences) plus its own random extras
     core = rng.choice(len(room), n_points // 2, replace=False)
-    kpt_world = rng.choice(core, n_kpts, replace=False)
+    # kpt_margin keeps keypoints away from the room walls so each
+    # keypoint's search-radius ball is fully interior (a wall/corner
+    # keypoint's clipped ball holds a fraction of the density the caller
+    # budgeted for — see the `extent` comment above)
+    kpt_pool = core
+    if kpt_margin > 0:
+        lo = np.asarray([kpt_margin] * 3)
+        hi = np.asarray(extent, np.float64) - kpt_margin
+        interior = np.all((room[core] > lo) & (room[core] < hi), axis=1)
+        assert interior.sum() >= n_kpts, (
+            f'only {interior.sum()} interior core points for {n_kpts} '
+            f'keypoints — grow extent or shrink kpt_margin')
+        kpt_pool = core[interior]
+    kpt_world = rng.choice(kpt_pool, n_kpts, replace=False)
 
     frags, poses = [], []
     for i in range(n_frags):

@@ -6,6 +6,7 @@ Rebuild of SPConvNets/utils/base_so3conv.py:32-215.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -17,7 +18,7 @@ from ..ops.so3conv import SphericalPointCloud
 from .layers import (BasicSO3Conv, Dense1x1, InstanceNorm, InterSO3Conv,
                      IntraSO3Conv, KernelPropagation, make_norm)
 # torch-subgradient-exact activations (see layers._leaky_relu_torch)
-from .layers import get_activation  # noqa: F401
+from .layers import get_activation
 
 
 def _pack_ss(scale, shift):
@@ -167,11 +168,16 @@ class SeparableSO3ConvBlock(fnn.Module):
         # pallas_call is opaque to GSPMD).
         from ..ops.pallas import grouped_conv as plgc
         na = p['kanchor']
+        # EPN_FUSE_TAIL_FORCE=1 lets CPU tests drive the block-level fused
+        # tail wiring end-to-end in Pallas interpret mode (the gate is
+        # otherwise TPU-only, leaving the scale/shift packing, bias fold,
+        # and residual wiring untested off-chip)
+        force_tail = os.environ.get('EPN_FUSE_TAIL_FORCE') == '1'
         fuse_tail = (fuse and not train and not ones_input
                      and skip_feature.ndim == 3
                      and p.get('norm') in ('BatchNorm2d', 'BatchNorm1d')
-                     and jax.default_backend() == 'tpu'
-                     and jax.device_count() == 1
+                     and ((jax.default_backend() == 'tpu'
+                           and jax.device_count() == 1) or force_tail)
                      and plgc.supported(dim_in, dim_out, na))
 
         if use_intra:
@@ -198,6 +204,10 @@ class SeparableSO3ConvBlock(fnn.Module):
                 skip_feature = sampling.gather_points(skip_feature,
                                                       sample_idx)
         if main_ss is not None:
+            # eval-only invariant: the skip BatchNorm below receives x.feats
+            # (raw intra output) as a SHAPE PROXY only — in train mode it
+            # would silently compute batch stats from the wrong tensor
+            assert not train, 'fused tail is eval-only (gate violated)'
             m_scale, m_shift, act_name = main_ss
             k, bias = Dense1x1(dim_out)(skip_feature, packed_groups=na,
                                         return_params=True)
@@ -208,7 +218,8 @@ class SeparableSO3ConvBlock(fnn.Module):
             feat = plgc.grouped_conv1x1_skip_epilogue(
                 skip_feature, k.astype(skip_feature.dtype), bias,
                 _pack_ss(s_scale, s_shift), x.feats,
-                _pack_ss(m_scale, m_shift), na, act=act_name)
+                _pack_ss(m_scale, m_shift), na, act=act_name,
+                interpret=jax.default_backend() != 'tpu')
             return inter_idx, inter_w, sample_idx, SphericalPointCloud(
                 x.xyz, feat, x.anchors)
         if skip_feature.ndim == 3:

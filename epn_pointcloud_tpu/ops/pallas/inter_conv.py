@@ -103,14 +103,25 @@ def set_pair(on: bool):
 
 
 def _pick_pair(ac: int, c: int) -> int:
-    return 2 if (_PAIR and c < 128 and ac % 2 == 0) else 1
+    if not _PAIR:
+        return 1
+    # fill the 128 lanes: pair*c == 128 where divisibility allows. The
+    # off-diagonal MAC waste grows with pair (pair x vs the unpaired form),
+    # but on the narrow-channel layers (3DMatch inv backbone, c=32) the
+    # unpaired dots are [96, 128]x[128, 32] — so small that fill/latency
+    # dominates; pair=4 halves the dot count at full lane width (measured
+    # win on the inv model, scripts/bench_layer.py inv shapes).
+    for pair in (4, 2):
+        if pair * c == 128 and ac % pair == 0:
+            return pair
+    return 2 if (c < 128 and ac % 2 == 0) else 1
 
 
-def _pair_rk8k(rk8k: jnp.ndarray, r: int) -> jnp.ndarray:
-    """[NA, 16, R] k-major operand -> [NA//2, 16, 2R] anchor-paired."""
+def _pair_rk8k(rk8k: jnp.ndarray, r: int, pair: int = 2) -> jnp.ndarray:
+    """[NA, 16, R] k-major operand -> [NA//pair, 16, pair*R] anchor-paired."""
     na = rk8k.shape[0]
-    return (rk8k.reshape(na // 2, 2, 16, r).swapaxes(1, 2)
-            .reshape(na // 2, 16, 2 * r))
+    return (rk8k.reshape(na // pair, pair, 16, r).swapaxes(1, 2)
+            .reshape(na // pair, 16, pair * r))
 
 
 def _pick_kg(kt: int, c: int) -> int:
@@ -118,6 +129,21 @@ def _pick_kg(kt: int, c: int) -> int:
     while kg < kt and kg * c < _KG_TARGET and kt % (kg * 2) == 0:
         kg *= 2
     return kg
+
+
+def _pick_gpk(kt: int, c: int) -> int:
+    """FAILED EXPERIMENT (round 4), kept as a record: packing gpk kernel
+    slots along lanes in the fs scratch would make narrow-channel (c < 128)
+    layers' fs stores lane-dense (measured 38.8 ms of fs stores + 11.3 ms
+    of learned-GEMM reads on the c=32 3DMatch inv B1L0 layer, b48 — 77% of
+    that kernel's runtime, all tile-padding waste). But building the packed
+    [tp, gpk*c] block requires a lane concatenation of f2 slices taken at
+    non-zero sublane/lane offsets, and real Mosaic rejects it ('Not
+    implemented: result/input offset mismatch on non-concat dimension' on
+    tpu.concatenate — interpret mode accepts it, so CPU tests pass). A real
+    fix needs the BD GEMM to EMIT the packed layout (operand-transposed
+    formulation), not a post-hoc repack."""
+    return 1
 
 
 def _round_up(x: int, m: int) -> int:
@@ -725,7 +751,7 @@ def _call_gather_w(gx8, idx3, tab, rk8k, w2, sigma, tp, kt, nt, ac,
     r = tp * kt
     pair = _pick_pair(ac, c)
     if pair > 1:
-        rk8k = _pair_rk8k(rk8k, r)
+        rk8k = _pair_rk8k(rk8k, r, pair)
     # output in the table's (compute) dtype: accumulation is f32 in-kernel,
     # and a bf16 activation chain halves the HBM write
     out_shape = jax.ShapeDtypeStruct((b, p, na * d), gdt)
@@ -891,7 +917,7 @@ def _bwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
 
 
 def _bwd_kernel_dtab(gx8_ref, idx_ref, rk8k_ref, w2_ref, dout_ref, dtab_ref,
-                     dFs, dacc, dgs, *, sigma, tp, kt, nt, n_sub, ac, c, d,
+                     dFs, dacc, dgs, *, tp, kt, nt, n_sub, ac, c, d,
                      pair=1):
     """dTable half: dF slabs from (dout @ W^T), dg rows via BD^T, transposed
     one-hot accumulate. No table select, no f recompute, no fs scratch.
@@ -967,7 +993,7 @@ def _bwd_kernel_dtab(gx8_ref, idx_ref, rk8k_ref, w2_ref, dout_ref, dtab_ref,
 
 
 def _bwd_kernel_dw2(gx8_ref, idx_ref, tab_ref, rk8k_ref, dout_ref, dw2_ref,
-                    fs, dacc, *, sigma, tp, kt, nt, n_sub, ac, c, d, pair=1):
+                    fs, dacc, *, tp, kt, nt, n_sub, ac, c, d, pair=1):
     """dW2 half: select + BD conv recompute f slabs, contract against dout.
     No dFs/dgs scratches, no dtab block."""
     gdt = tab_ref.dtype
@@ -1066,14 +1092,14 @@ def _call_gather_w_bwd_split(gx8, idx3, tab, rk8k, w2, dout, sigma, tp, kt,
     gdt = tab.dtype
     isz = jnp.dtype(gdt).itemsize
     pair = _pick_pair(ac, c)
-    rk8k_p = _pair_rk8k(rk8k, tp * kt) if pair > 1 else rk8k
+    rk8k_p = _pair_rk8k(rk8k, tp * kt, pair) if pair > 1 else rk8k
     r = tp * kt
 
     n1 = _pick_n_sub_bwd_split(p, tp, kt, nt, c, d, ac, qp, isz, 'dtab')
     assert n1 > 0, (p, tp, kt, nt, c, d, ac, qp)
     t1 = n1 * tp
     dtab = pl.pallas_call(
-        functools.partial(_bwd_kernel_dtab, sigma=float(sigma), tp=tp,
+        functools.partial(_bwd_kernel_dtab, tp=tp,
                           kt=kt, nt=nt, n_sub=n1, ac=ac, c=c, d=d,
                           pair=pair),
         grid=(b, na // ac, p // t1),
@@ -1106,7 +1132,7 @@ def _call_gather_w_bwd_split(gx8, idx3, tab, rk8k, w2, dout, sigma, tp, kt,
     assert n2 > 0, (p, tp, kt, nt, c, d, ac, qp)
     t2 = n2 * tp
     dw2 = pl.pallas_call(
-        functools.partial(_bwd_kernel_dw2, sigma=float(sigma), tp=tp,
+        functools.partial(_bwd_kernel_dw2, tp=tp,
                           kt=kt, nt=nt, n_sub=n2, ac=ac, c=c, d=d,
                           pair=pair),
         grid=(b, na // ac, p // t2),
@@ -1155,7 +1181,7 @@ def _call_gather_w_bwd(gx8, idx3, tab, rk8k, w2, dout, sigma, tp, kt, nt,
     r = tp * kt
     pair = _pick_pair(ac, c)
     if pair > 1:
-        rk8k = _pair_rk8k(rk8k, r)
+        rk8k = _pair_rk8k(rk8k, r, pair)
     out_shapes = [jax.ShapeDtypeStruct((b, qp, na * c), jnp.float32),
                   jax.ShapeDtypeStruct((kt * c, d), jnp.float32)]
     return pl.pallas_call(

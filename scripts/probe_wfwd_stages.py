@@ -28,6 +28,8 @@ LAYERS = {  # p_out(q), qp, c_in, d_out, nn, sigma
     'b2l0': (128, 256, 128, 256, 32, 0.16),
     'b2l1': (128, 128, 256, 256, 16, 0.16),
     'b3l0': (64, 128, 256, 256, 32, 0.32),
+    # 3DMatch inv backbone (probe at --batch 48): tp=2 strided narrow layer
+    'ib1l0': (256, 512, 32, 64, 64, 0.08),
 }
 
 
@@ -71,7 +73,7 @@ def main():
                                     jnp.dtype(gdt).itemsize)
     assert n_sub > 0
     pair = ic._pick_pair(ac, c)
-    rk8k_p = ic._pair_rk8k(rk8k, tp * kt) if pair > 1 else rk8k
+    rk8k_p = ic._pair_rk8k(rk8k, tp * kt, pair) if pair > 1 else rk8k
 
     def kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref, out_ref, fs,
                acc, *, stage):

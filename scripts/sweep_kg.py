@@ -76,10 +76,12 @@ def main():
                 return outs
 
             try:
-                chain(feats).block_until_ready()
+                # float() readback closes the window (block_until_ready
+                # does not wait on the tunnel backend — CLAUDE.md)
+                float(chain(feats)[-1])
                 t0 = time.perf_counter()
-                chain(feats).block_until_ready()
-                dt = (time.perf_counter() - t0) / args.iters
+                float(chain(feats)[-1])
+                dt = (time.perf_counter() - t0 - 0.023) / args.iters
                 print(f'{lname} kg={kg}: {dt * 1e3:.3f} ms', flush=True)
             except Exception as e:
                 print(f'{lname} kg={kg}: FAILED {type(e).__name__}: '

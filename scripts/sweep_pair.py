@@ -87,10 +87,12 @@ def main():
 
             for name, fn in (('fwd', chain), ('fwd+bwd', chain_bwd)):
                 try:
-                    fn(feats).block_until_ready()
+                    # float() readback closes the window (block_until_ready
+                    # does not wait on the tunnel backend — CLAUDE.md)
+                    float(fn(feats)[-1])
                     t0 = time.perf_counter()
-                    fn(feats).block_until_ready()
-                    dt = (time.perf_counter() - t0) / args.iters
+                    float(fn(feats)[-1])
+                    dt = (time.perf_counter() - t0 - 0.023) / args.iters
                     print(f'{lname} pair={pair_on} {name}: '
                           f'{dt * 1e3:.3f} ms', flush=True)
                 except Exception as e:

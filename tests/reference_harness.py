@@ -204,6 +204,15 @@ def install_stubs():
     o3d.geometry = types.SimpleNamespace()
     o3d.io = types.SimpleNamespace()
     o3d.utility = types.SimpleNamespace()
+
+    # functional read_point_cloud: the reference SceneEvalLoader calls it
+    # even on the npz-cache hit path (match_3dmatch.py:466-470) — back it
+    # with this repo's parity-tested PLY reader
+    def _read_point_cloud(path):
+        from epn_pointcloud_tpu.ops.ply import load_ply
+        pts = np.asarray(load_ply(path), np.float64)[:, :3]
+        return types.SimpleNamespace(points=pts, normals=[])
+    o3d.io.read_point_cloud = _read_point_cloud
     sys.modules.setdefault('open3d', o3d)
 
     pa = types.ModuleType('parse')

@@ -161,3 +161,36 @@ def test_grouped_conv_skip_epilogue_vs_oracle(c, d, bs, bm):
     ym = leaky(y * ssm[:, 0:1, :] + ssm[:, 1:2, :])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ym + sk),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_tail_block_wiring_cpu(monkeypatch):
+    """End-to-end parity of the SeparableSO3ConvBlock fused-tail path
+    (scale/shift packing, bias fold, residual) against the composed path on
+    identical variables — on CPU via EPN_FUSE_TAIL_FORCE=1 + interpret mode
+    (the gate is otherwise TPU-only, so this block-level wiring was only
+    exercised on chip; round-3 advisor finding)."""
+    import jax
+    import jax.numpy as jnp
+    from epn_pointcloud_tpu import models
+    from epn_pointcloud_tpu.app.config import default_opt
+
+    opt = default_opt(**{'model.model': 'cls_so3net_pn',
+                         'model.input_num': 1024,
+                         'model.kanchor': 60,
+                         'model.flag': 'attention'})
+    model = models.build_model_from(opt)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 1024, 3).astype(np.float32) * 0.3)
+    variables = jax.jit(lambda r, xx: model.init(r, xx, train=False))(
+        jax.random.PRNGKey(0), x)
+
+    monkeypatch.delenv('EPN_FUSE_TAIL_FORCE', raising=False)
+    ref_logits = jax.jit(
+        lambda xx: model.apply(variables, xx, train=False)[0])(x)
+
+    monkeypatch.setenv('EPN_FUSE_TAIL_FORCE', '1')
+    fused_logits = jax.jit(
+        lambda xx: model.apply(variables, xx, train=False)[0])(x)
+
+    np.testing.assert_allclose(np.asarray(fused_logits),
+                               np.asarray(ref_logits), rtol=1e-4, atol=1e-4)

@@ -241,6 +241,10 @@ def test_layer_fusable_gate():
     # nn=32 (tp=4) + even AC + c<128: the SPLIT backward with pairing
     # (the B1L0 production shape class; see inter_conv._BWD_SPLIT_TP_MAX)
     (2, 16, 32, 4, 24, 64, 64, 33),
+    # c=32 + AC%4==0: pair=4 (full 128-lane fill for the narrow-channel
+    # 3DMatch inv / reg backbone layers)
+    (2, 32, 12, 4, 24, 32, 48, 61),
+    (1, 16, 32, 4, 24, 32, 64, 33),
 ])
 def test_gather_conv_w_kernel_vs_oracle(B, P, N, AC, K, C, D, Q):
     """fused_gather_conv_w (megagather + BD conv + learned GEMM in one
