@@ -655,9 +655,32 @@ def _pick_n_sub_gather_w(p: int, tp: int, kt: int, nt: int, c: int, d: int,
     return n_sub if n_sub >= grp else 0
 
 
+# Override for perf sweeps: None = measured rule, True/False = force
+_W_FUSE_OVERRIDE = None
+
+
+def set_w_fuse_override(val):
+    global _W_FUSE_OVERRIDE
+    _W_FUSE_OVERRIDE = val
+
+
 def gather_w_fusable(p2: int, qp: int, ac: int, c: int, d: int, kt: int,
                      nt: int, tp: int, itemsize: int) -> bool:
-    """Gate for the W-fused gather kernel (on top of gather_fusable)."""
+    """Gate for the W-fused gather kernel (on top of gather_fusable).
+
+    Narrow-channel layers (c <= 32) are deliberately NOT W-fused: the
+    W-fused kernel must transpose the BD GEMM's k-major ROWS into k-major
+    LANES for the learned contraction (fs scratch + per-(subtile, pair)
+    diagonal extraction), and at c=32 that transpose dominates — measured
+    38.8 ms of the 3DMatch ib1l0 layer's 64.7 ms (b48, round 4). The
+    unfused path (F to HBM + XLA einsum) pays the F round trip instead,
+    which is small at these widths; wide layers amortize the transpose
+    and save the 1.5-3 GB F traffic (round-1 measurement)."""
+    if _W_FUSE_OVERRIDE is not None:
+        if not _W_FUSE_OVERRIDE:
+            return False
+    elif c <= 32:
+        return False
     if (ac * d) % 128 != 0:
         return False
     return (_pick_n_sub_gather_w(p2, tp, kt, nt, c, d, ac, qp, itemsize) > 0
@@ -691,6 +714,10 @@ def _fwd_gather_w_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref, w2_ref,
     t = n_sub * tp
     r = tp * kt
     grp = max(1, 8 // tp)
+    # (measured round 4, ib1l0 b48: batching MORE subtiles per fs store —
+    # rows 8 -> 32, 4x fewer stores — made the layer 64.7 -> 72.7 ms; the
+    # store count is not the bottleneck, the wider pend concat is. Keep the
+    # minimal 8-sublane-aligned batching.)
     for g in range(ac // pair):
         wp_all = jax.lax.dot_general(
             rk8k_ref[g], gx8_ref[0],

@@ -518,7 +518,10 @@ def inter_so3conv_fused(xyz: jnp.ndarray, feats: jnp.ndarray, stride: int,
                 out = jnp.einsum('bapkc,kcd->bpad', F.astype(cdt),
                                  Wp.astype(cdt),
                                  preferred_element_type=jnp.float32)
-                return out.reshape(bb, pp, -1)
+                # stay in the compute dtype: one stray f32 materialization
+                # promotes the whole downstream chain (round-1 measurement,
+                # ~1.4 ms/layer in convert+layout copies)
+                return out.astype(cdt).reshape(bb, pp, -1)
             if packed_in:
                 Gfeat = jnp.pad(feats.astype(cdt), ((0, 0), (0, 1), (0, 0)))
             else:

@@ -53,7 +53,10 @@ def main():
     kt = k  # 24 is already a multiple of 8
     nt = nn
     tp = 128 // nt
-    ac = args.chunk or (10 if (c <= 64 and nn <= 16) else 30)
+    # mirror the model's auto rule (which also guarantees ac*c % 128 == 0;
+    # e.g. c=32 layers need ac=20, not 30)
+    from epn_pointcloud_tpu.ops.so3conv import auto_anchor_chunk
+    ac = args.chunk or auto_anchor_chunk(na, c, nn)
     gdt = jnp.bfloat16
 
     rng = np.random.RandomState(0)
