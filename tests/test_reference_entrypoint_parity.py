@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 import reference_harness as rh  # noqa: E402
 
+# multi-minute torch-oracle tests: heavy tier (see tests/conftest.py)
+pytestmark = pytest.mark.heavy
+
 from epn_pointcloud_tpu.data import synthetic  # noqa: E402
 from epn_pointcloud_tpu.ops import icosahedron  # noqa: E402
 

@@ -105,6 +105,7 @@ def _flax_vars_from(ref_model, model, example):
     return compat.import_state_dict(variables, ref_model.state_dict())
 
 
+@pytest.mark.heavy
 def test_cls_model_parity(reference_mode):
     import torch
     rh.install_stubs()
@@ -136,6 +137,7 @@ def test_cls_model_parity(reference_mode):
                                rtol=1e-3, atol=2e-3)
 
 
+@pytest.mark.heavy
 def test_inv_model_parity(reference_mode):
     import torch
     rh.install_stubs()
@@ -167,6 +169,7 @@ def test_inv_model_parity(reference_mode):
         rtol=1e-3, atol=2e-3)
 
 
+@pytest.mark.heavy
 def test_reg_model_parity(reference_mode):
     import torch
     rh.install_stubs()

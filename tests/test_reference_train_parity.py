@@ -28,6 +28,9 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 import reference_harness as rh  # noqa: E402
 
+# multi-minute torch-oracle tests: heavy tier (see tests/conftest.py)
+pytestmark = pytest.mark.heavy
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
