@@ -45,7 +45,8 @@ class Trainer:
         # run dir: trained_models/models/<exp>/model_<ts>/ (ref: :33-36)
         experiment_id = (self.opt.experiment_id if self.opt.mode == 'train'
                          else f'{self.opt.experiment_id}_{self.opt.mode}')
-        model_id = f'model_{time.strftime("%Y%m%d_%H:%M:%S")}'
+        # colon-free timestamp: colons in dir names break Windows checkouts
+        model_id = f'model_{time.strftime("%Y%m%d_%H%M%S")}'
         self.root_dir = os.path.join(self.opt.model_dir, experiment_id, model_id)
         os.makedirs(self.root_dir, exist_ok=True)
 

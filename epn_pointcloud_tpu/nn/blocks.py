@@ -173,11 +173,16 @@ class SeparableSO3ConvBlock(fnn.Module):
         # otherwise TPU-only, leaving the scale/shift packing, bias fold,
         # and residual wiring untested off-chip)
         force_tail = os.environ.get('EPN_FUSE_TAIL_FORCE') == '1'
+        # tail_native: the only configuration allowed to run the raw
+        # pallas_call compiled (single-device TPU — a pallas_call is opaque
+        # to GSPMD). When force_tail alone passes the gate (CPU tests, or a
+        # forced multi-device run), the kernel runs in interpret mode.
+        tail_native = (jax.default_backend() == 'tpu'
+                       and jax.device_count() == 1)
         fuse_tail = (fuse and not train and not ones_input
                      and skip_feature.ndim == 3
                      and p.get('norm') in ('BatchNorm2d', 'BatchNorm1d')
-                     and ((jax.default_backend() == 'tpu'
-                           and jax.device_count() == 1) or force_tail)
+                     and (tail_native or force_tail)
                      and plgc.supported(dim_in, dim_out, na))
 
         if use_intra:
@@ -219,7 +224,7 @@ class SeparableSO3ConvBlock(fnn.Module):
                 skip_feature, k.astype(skip_feature.dtype), bias,
                 _pack_ss(s_scale, s_shift), x.feats,
                 _pack_ss(m_scale, m_shift), na, act=act_name,
-                interpret=jax.default_backend() != 'tpu')
+                interpret=not tail_native)
             return inter_idx, inter_w, sample_idx, SphericalPointCloud(
                 x.xyz, feat, x.anchors)
         if skip_feature.ndim == 3:

@@ -222,9 +222,22 @@ def auto_anchor_chunk(na: int, dim_in: int, n_neighbor: int) -> int:
     flagship sweep): small chunks buy a bigger point tile for narrow layers;
     wide layers prefer large chunks (fewer table re-streams)."""
     if _ANCHOR_CHUNK_OVERRIDE is not None:
+        if int(_ANCHOR_CHUNK_OVERRIDE) < 1:
+            raise ValueError(
+                f'anchor chunk override must be >= 1, got '
+                f'{_ANCHOR_CHUNK_OVERRIDE}')
         chunk = min(int(_ANCHOR_CHUNK_OVERRIDE), na)
         while na % chunk != 0:
             chunk -= 1
+        if (chunk * dim_in) % 128 != 0:
+            # the fused-layer gate requires 128-lane-aligned chunk*dim_in;
+            # an unaligned forced chunk silently benches the XLA fallback
+            # labeled as this chunk — make sweeps see that loudly
+            import sys
+            print(f'[so3conv] WARNING: forced anchor chunk {chunk} '
+                  f'(dim_in={dim_in}) fails the 128-lane alignment rule — '
+                  f'the fused kernel gate will reject this layer and the '
+                  f'XLA fallback runs instead', file=sys.stderr, flush=True)
         return chunk
     cands = [x for x in (10, 12, 15, 20, 30, na)
              if na % x == 0 and (x * dim_in) % 128 == 0]

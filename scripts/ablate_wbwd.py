@@ -156,6 +156,13 @@ def main():
     ap.add_argument('--mode', default='merged', choices=['merged', 'split'])
     args = ap.parse_args()
     ac = args.chunk
+    if args.mode == 'split' and set(args.variants.split(',')) != {'full'}:
+        # the variant monkeypatch replaces ic._bwd_gather_w_kernel (merged
+        # kernel); _call_gather_w_bwd_split calls _bwd_kernel_dtab /
+        # _bwd_kernel_dw2 directly, so non-'full' variants would silently
+        # time the unmodified split kernels and mislabel the deltas
+        raise SystemExit('--mode split only supports --variants full '
+                         '(stage ablation patches the merged kernel only)')
 
     import jax
     import jax.numpy as jnp
