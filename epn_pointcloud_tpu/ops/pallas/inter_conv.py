@@ -140,10 +140,207 @@ def _pick_gpk(kt: int, c: int) -> int:
     [tp, gpk*c] block requires a lane concatenation of f2 slices taken at
     non-zero sublane/lane offsets, and real Mosaic rejects it ('Not
     implemented: result/input offset mismatch on non-concat dimension' on
-    tpu.concatenate — interpret mode accepts it, so CPU tests pass). A real
-    fix needs the BD GEMM to EMIT the packed layout (operand-transposed
-    formulation), not a post-hoc repack."""
+    tpu.concatenate — interpret mode accepts it, so CPU tests pass). The
+    real fix is the PACKED kernel below (_fwd_gather_w_packed_kernel): the
+    anchor-paired BD GEMM already emits [pair*R, pair*C] whose diagonal
+    blocks are extracted with lane MASKS (register VPU ops, no concat) into
+    a lane-dense [R, pair*C] value, stored 2-D with kernel slots along
+    LANES; the learned contraction then runs as one [T, K~*pair*C] GEMM per
+    anchor group against a block-diagonal-expanded weight."""
     return 1
+
+
+# ---------------------------------------------------------------------------
+# Packed W-fused forward (narrow channels): the per-anchor fs stores of the
+# standard W-fused kernel are lane-padded c/128 at c < 128 (38.8 ms of the
+# 3DMatch ib1l0 layer's 64.7 ms, round-4 stage attribution). Here the
+# anchor-paired BD GEMM's [pair*R, pair*C] output has its pair diagonal
+# [R, C] blocks summed into ONE lane-dense [R, pair*C] value via lane masks
+# (fd[r, i*c+cc] = f2[i*R+r, i*c+cc]; off-diagonal cross-anchor blocks are
+# masked off), which is stored per kernel slot into a 2-D scratch
+#     fs[T, (AC/pair) * K~ * (pair*C)]        lanes ordered (g, k, i, cc)
+# at 128-aligned lane offsets (pair*C == 128). The learned contraction is
+# then ONE MXU GEMM per anchor group g:
+#     out_g [T, pair*D] = fs[:, g] @ W2bd [K~*pair*C, pair*D]
+# where W2bd[(k,i,cc),(i',dd)] = [i==i'] W[k,cc,dd] (block-diagonal expanded
+# in XLA outside the kernel). MACs inflate by pair on the learned GEMM, but
+# it runs with full 128-lane operands and M = T instead of kt short-K
+# passes, and the fs round trip is lane-dense.
+# ---------------------------------------------------------------------------
+
+# 'auto': packed kernel for c <= _PACKED_C_MAX when its shape gates hold;
+# True/False force for sweeps (scripts/bench_layer.py --packed).
+_PACKED_MODE = 'auto'
+_PACKED_C_MAX = 64
+# rows per fs store (multiple of 8 and of tp); sweepable on chip
+_PACKED_SROWS = 8
+
+
+def set_packed_mode(mode):
+    global _PACKED_MODE
+    _PACKED_MODE = mode
+
+
+def set_packed_srows(srows: int):
+    global _PACKED_SROWS
+    _PACKED_SROWS = int(srows)
+
+
+def _pick_pair_packed(ac: int, c: int, d: int) -> int:
+    """Packed-kernel pair: pair*c must fill the 128 lanes exactly, the
+    anchor chunk must split into pairs, and the out-store lane offsets
+    (pair*d) must be 128-aligned."""
+    pair, rem = divmod(128, c)
+    if rem != 0 or pair < 2:
+        return 0
+    if ac % pair != 0 or (pair * d) % 128 != 0:
+        return 0
+    return pair
+
+
+def _packed_wanted(c: int) -> bool:
+    if _PACKED_MODE == 'auto':
+        return c <= _PACKED_C_MAX
+    return bool(_PACKED_MODE)
+
+
+def _pick_n_sub_gather_w_packed(p: int, tp: int, kt: int, nt: int, c: int,
+                                d: int, pair: int, ac: int, qp: int,
+                                g_itemsize: int) -> int:
+    """Subtiles per block for the packed W-fused forward."""
+    grp = max(1, _PACKED_SROWS // tp)
+    budget = _VMEM_BUDGET * 4
+    lpg = kt * pair * c                          # lanes per anchor group
+    fixed = (qp * ac * c + lpg * pair * d) * g_itemsize
+    per_sub = (16 * tp * nt * 4                  # gx16 rows
+               + tp * nt * 4                     # idx rows
+               + tp * nt * qp * g_itemsize       # one-hot S
+               + 2 * tp * nt * ac * c * g_itemsize   # gathered g (f32+gdt)
+               + tp * (ac // pair) * lpg * g_itemsize  # fs rows
+               + 2 * tp * ac * d * 4)            # out rows + og f32
+    n_sub = max(grp, (budget - 2 * fixed) // (2 * per_sub))
+    n_sub = min(n_sub, p // tp)
+    while n_sub >= grp and ((p // tp) % n_sub != 0 or n_sub % grp != 0):
+        n_sub -= 1
+    return n_sub if n_sub >= grp else 0
+
+
+def _fwd_gather_w_packed_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref,
+                                w2bd_ref, out_ref, fs, *, sigma, tp, kt, nt,
+                                n_sub, ac, c, d, pair):
+    """Gather + BD conv + learned GEMM with lane-dense narrow-c layout."""
+    gdt = tab_ref.dtype
+    prec = _precision(gdt)
+    idxv = idx_ref[0, 0]                                       # [T*N~] int32
+    rows = idxv.shape[0]
+    qp = tab_ref.shape[1]
+    iot = jax.lax.broadcasted_iota(jnp.int32, (rows, qp), 1)
+    s_onehot = (iot == idxv[:, None]).astype(gdt)
+    g_all = jax.lax.dot_general(
+        s_onehot, tab_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec).astype(gdt)                            # [T*N~, AC*C]
+    s = tp * nt
+    r = tp * kt
+    pc = pair * c                                              # == 128
+    lpg = kt * pc
+    grp = max(1, _PACKED_SROWS // tp)
+    # lane-block index (which anchor-of-pair each lane belongs to)
+    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (r, pc), 1) // c
+    for g in range(ac // pair):
+        wp_all = jax.lax.dot_general(
+            rk8k_ref[g], gx8_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                                 # [pair*R, T*N~]
+        pend = []
+        for st in range(n_sub):
+            wp = wp_all[:, st * s:(st + 1) * s]             # [pair*R, S]
+            bd = jnp.maximum(wp, 0.0).astype(gdt)
+            g_sub = g_all[st * s:(st + 1) * s,
+                          g * pc:(g + 1) * pc]              # [S, pair*C]
+            f2 = jax.lax.dot_general(
+                bd, g_sub, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)                     # [pair*R, pair*C] f32
+            # masked-diagonal reduction: pure register VPU ops (the lane
+            # concat this replaces is Mosaic-illegal, see _pick_gpk)
+            fd = jnp.where(lane_blk == 0, f2[0:r, :], 0.0)
+            for i in range(1, pair):
+                fd = fd + jnp.where(lane_blk == i,
+                                    f2[i * r:(i + 1) * r, :], 0.0)
+            pend.append(fd.astype(gdt))                     # [R, pair*C]
+            if len(pend) == grp:
+                off_r = (st + 1 - grp) * tp
+                for k in range(kt):
+                    blk = (pend[0][k * tp:(k + 1) * tp] if grp == 1 else
+                           jnp.concatenate(
+                               [q[k * tp:(k + 1) * tp] for q in pend],
+                               axis=0))                     # [grp*tp, pc]
+                    fs[off_r:off_r + grp * tp,
+                       g * lpg + k * pc:g * lpg + (k + 1) * pc] = blk
+                pend = []
+    for g in range(ac // pair):
+        og = jax.lax.dot_general(
+            fs[:, g * lpg:(g + 1) * lpg], w2bd_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                                    # [T, pair*D]
+        out_ref[0, :, g * pair * d:(g + 1) * pair * d] = (
+            og.astype(out_ref.dtype))
+
+
+def _call_gather_w_packed(gx8, idx3, tab, rk8k, w2, sigma, tp, kt, nt, ac,
+                          interpret, c, d, pair):
+    b = gx8.shape[0]
+    na = rk8k.shape[0]
+    assert na % ac == 0, (na, ac)
+    qp = tab.shape[1]
+    p = gx8.shape[2] // nt
+    gdt = tab.dtype
+    n_sub = _pick_n_sub_gather_w_packed(p, tp, kt, nt, c, d, pair, ac, qp,
+                                        jnp.dtype(gdt).itemsize)
+    assert n_sub > 0, (p, tp, kt, nt, c, d, pair, ac, qp)
+    t = n_sub * tp
+    r = tp * kt
+    rk8k_p = _pair_rk8k(rk8k, r, pair)
+    # block-diagonal-expanded weight: rows (k, i, cc), cols (i', dd)
+    w3 = w2.reshape(kt, c, d)
+    eye = jnp.eye(pair, dtype=w2.dtype)
+    w2bd = jnp.einsum('kcd,ij->kicjd', w3, eye).reshape(
+        kt * pair * c, pair * d)
+    out_shape = jax.ShapeDtypeStruct((b, p, na * d), gdt)
+    return pl.pallas_call(
+        functools.partial(_fwd_gather_w_packed_kernel, sigma=float(sigma),
+                          tp=tp, kt=kt, nt=nt, n_sub=n_sub, ac=ac, c=c,
+                          d=d, pair=pair),
+        grid=(b, na // ac, p // t),
+        in_specs=[
+            pl.BlockSpec((1, 16, t * nt), lambda bb, ci, pt: (bb, 0, pt)),
+            pl.BlockSpec((1, 1, t * nt), lambda bb, ci, pt: (bb, 0, pt)),
+            pl.BlockSpec((1, qp, ac * c), lambda bb, ci, pt: (bb, 0, ci)),
+            pl.BlockSpec((ac // pair, 16, pair * r),
+                         lambda bb, ci, pt: (ci, 0, 0)),
+            pl.BlockSpec((kt * pair * c, pair * d),
+                         lambda bb, ci, pt: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, ac * d),
+                               lambda bb, ci, pt: (bb, pt, ci)),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((t, (ac // pair) * kt * pair * c), gdt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * b * p * na * (tp * kt) * nt * c
+                   + 2 * b * p * nt * qp * na * c
+                   + 2 * b * p * na * kt * c * d * pair),
+            bytes_accessed=(tab.size * tab.dtype.itemsize
+                            + b * p * na * d * 4
+                            + (na // ac) * gx8.size // b
+                            * gx8.dtype.itemsize),
+            transcendentals=0),
+        interpret=interpret,
+    )(gx8, idx3, tab, rk8k_p, w2bd)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -668,22 +865,29 @@ def gather_w_fusable(p2: int, qp: int, ac: int, c: int, d: int, kt: int,
                      nt: int, tp: int, itemsize: int) -> bool:
     """Gate for the W-fused gather kernel (on top of gather_fusable).
 
-    Narrow-channel layers (c <= 32) are deliberately NOT W-fused: the
-    W-fused kernel must transpose the BD GEMM's k-major ROWS into k-major
-    LANES for the learned contraction (fs scratch + per-(subtile, pair)
-    diagonal extraction), and at c=32 that transpose dominates — measured
-    38.8 ms of the 3DMatch ib1l0 layer's 64.7 ms (b48, round 4). The
-    unfused path (F to HBM + XLA einsum) pays the F round trip instead,
-    which is small at these widths; wide layers amortize the transpose
-    and save the 1.5-3 GB F traffic (round-1 measurement)."""
+    Narrow-channel layers (c <= 32) W-fuse ONLY through the packed kernel
+    (_fwd_gather_w_packed_kernel): the standard W-fused kernel's k-major
+    row -> lane transpose (fs scratch + per-(subtile, pair) diagonal
+    extraction) dominates at c=32 — measured 38.8 ms of the 3DMatch ib1l0
+    layer's 64.7 ms (b48, round 4). When the packed shape gates fail there,
+    the unfused path (F to HBM + XLA einsum) pays the F round trip instead,
+    which is small at these widths; wide layers amortize the fs traffic
+    and save the 1.5-3 GB F tensor (round-1 measurement)."""
     if _W_FUSE_OVERRIDE is not None:
         if not _W_FUSE_OVERRIDE:
             return False
-    elif c <= 32:
-        return False
     if (ac * d) % 128 != 0:
         return False
-    return (_pick_n_sub_gather_w(p2, tp, kt, nt, c, d, ac, qp, itemsize) > 0
+    pair_p = _pick_pair_packed(ac, c, d)
+    packed_ok = (pair_p > 0 and _packed_wanted(c)
+                 and _pick_n_sub_gather_w_packed(p2, tp, kt, nt, c, d,
+                                                 pair_p, ac, qp,
+                                                 itemsize) > 0)
+    if _W_FUSE_OVERRIDE is None and c <= 32 and not packed_ok:
+        return False
+    fwd_ok = packed_ok or _pick_n_sub_gather_w(p2, tp, kt, nt, c, d, ac, qp,
+                                               itemsize) > 0
+    return (fwd_ok
             and _pick_n_sub_gather_w(p2, tp, kt, nt, c, d, ac, qp, itemsize,
                                      bwd=True) > 0)
 
@@ -771,6 +975,12 @@ def _call_gather_w(gx8, idx3, tab, rk8k, w2, sigma, tp, kt, nt, ac,
     qp = tab.shape[1]
     p = gx8.shape[2] // nt
     gdt = tab.dtype
+    pair_p = _pick_pair_packed(ac, c, d)
+    if (pair_p and _packed_wanted(c)
+            and _pick_n_sub_gather_w_packed(p, tp, kt, nt, c, d, pair_p, ac,
+                                            qp, jnp.dtype(gdt).itemsize) > 0):
+        return _call_gather_w_packed(gx8, idx3, tab, rk8k, w2, sigma, tp,
+                                     kt, nt, ac, interpret, c, d, pair_p)
     n_sub = _pick_n_sub_gather_w(p, tp, kt, nt, c, d, ac, qp,
                                  jnp.dtype(gdt).itemsize)
     assert n_sub > 0, (p, tp, kt, nt, c, d, ac, qp)

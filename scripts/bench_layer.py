@@ -50,6 +50,10 @@ def main():
                     'grouping lane target (0 = module default)')
     ap.add_argument('--pair', type=int, default=-1,
                     help='anchor-paired BD GEMMs: 1/0 (-1 = module default)')
+    ap.add_argument('--packed', default='auto',
+                    help="packed narrow-c W-fused kernel: auto/1/0")
+    ap.add_argument('--srows', type=int, default=0,
+                    help='packed fs store row batch (0 = module default)')
     args = ap.parse_args()
 
     import jax
@@ -66,6 +70,10 @@ def main():
         plic.set_kg_target(args.kg)
     if args.pair >= 0:
         plic.set_pair(bool(args.pair))
+    if args.packed != 'auto':
+        plic.set_packed_mode(bool(int(args.packed)))
+    if args.srows > 0:
+        plic.set_packed_srows(args.srows)
 
     p_out, p_in, c_in, c_out, nn, radius, sigma, stride = LAYERS[args.layer]
     na, k = 60, 24
