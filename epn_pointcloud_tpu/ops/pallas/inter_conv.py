@@ -174,6 +174,19 @@ _PACKED_MODE = 'auto'
 _PACKED_C_MAX = 64
 # rows per fs store (multiple of 8 and of tp); sweepable on chip
 _PACKED_SROWS = 8
+# per-half overrides for the split backward (None = follow _PACKED_MODE);
+# chip A/B (scripts/ab_bwd_packed.py, b1l0 + ib0l1): the TALL-layout packed
+# dW2 half wins on both c=64 and c=32 (13.59 -> 13.25 ms b1l0 b12;
+# 92.4 -> 85.2 ms ib0l1 b48); the packed dTab half is neutral-to-negative
+# (its dgs stores are a smaller fraction and the pair concat costs more
+# than the density buys) — default OFF, kernel kept for sweeps.
+_PACKED_BWD_DTAB = False
+_PACKED_BWD_DW2 = None
+
+
+def set_packed_bwd(dtab=None, dw2=None):
+    global _PACKED_BWD_DTAB, _PACKED_BWD_DW2
+    _PACKED_BWD_DTAB, _PACKED_BWD_DW2 = dtab, dw2
 
 
 def set_packed_mode(mode):
@@ -225,13 +238,10 @@ def _pick_n_sub_gather_w_packed(p: int, tp: int, kt: int, nt: int, c: int,
     return n_sub if n_sub >= grp else 0
 
 
-def _fwd_gather_w_packed_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref,
-                                w2bd_ref, out_ref, fs, *, sigma, tp, kt, nt,
-                                n_sub, ac, c, d, pair):
-    """Gather + BD conv + learned GEMM with lane-dense narrow-c layout."""
-    gdt = tab_ref.dtype
-    prec = _precision(gdt)
-    idxv = idx_ref[0, 0]                                       # [T*N~] int32
+def _select_g_all(idx_ref, tab_ref, gdt, prec):
+    """One-hot MXU megagather of the support-table block: returns
+    (s_onehot [rows, Q~], g_all [rows, AC*C])."""
+    idxv = idx_ref[0, 0]
     rows = idxv.shape[0]
     qp = tab_ref.shape[1]
     iot = jax.lax.broadcasted_iota(jnp.int32, (rows, qp), 1)
@@ -239,11 +249,29 @@ def _fwd_gather_w_packed_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref,
     g_all = jax.lax.dot_general(
         s_onehot, tab_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=prec).astype(gdt)                            # [T*N~, AC*C]
+        precision=prec).astype(gdt)                            # [rows, AC*C]
+    return s_onehot, g_all
+
+
+def _build_packed_fs(gx8_ref, g_all, rk8k_ref, fs, *, tp, kt, nt, n_sub, ac,
+                     c, pair, gdt, prec, tall=False):
+    """Select-free packed conv pass: anchor-paired BD GEMMs whose pair
+    diagonal [R, C] blocks are reduced with lane masks (register VPU ops —
+    the lane concat this replaces is Mosaic-illegal, see _pick_gpk) into
+    lane-dense [R, pair*C] values, stored per kernel slot into a 2-D
+    scratch:
+
+      wide (forward):  fs [T, (AC/pair) * K~ * (pair*C)]  lanes (g,k,i,cc)
+      tall (dW2 bwd):  fs [(AC/pair) * T, K~ * (pair*C)]  rows (g, t)
+
+    The tall layout puts the anchor group in ROWS so the dW2 contraction
+    (which sums over anchors AND points) is a single dot over all rows.
+    """
     s = tp * nt
     r = tp * kt
     pc = pair * c                                              # == 128
     lpg = kt * pc
+    t = n_sub * tp
     grp = max(1, _PACKED_SROWS // tp)
     # lane-block index (which anchor-of-pair each lane belongs to)
     lane_blk = jax.lax.broadcasted_iota(jnp.int32, (r, pc), 1) // c
@@ -263,23 +291,35 @@ def _fwd_gather_w_packed_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref,
                 bd, g_sub, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec)                     # [pair*R, pair*C] f32
-            # masked-diagonal reduction: pure register VPU ops (the lane
-            # concat this replaces is Mosaic-illegal, see _pick_gpk)
+            # masked-diagonal reduction
             fd = jnp.where(lane_blk == 0, f2[0:r, :], 0.0)
             for i in range(1, pair):
                 fd = fd + jnp.where(lane_blk == i,
                                     f2[i * r:(i + 1) * r, :], 0.0)
             pend.append(fd.astype(gdt))                     # [R, pair*C]
             if len(pend) == grp:
-                off_r = (st + 1 - grp) * tp
+                off_r = (g * t if tall else 0) + (st + 1 - grp) * tp
+                off_l = 0 if tall else g * lpg
                 for k in range(kt):
                     blk = (pend[0][k * tp:(k + 1) * tp] if grp == 1 else
                            jnp.concatenate(
                                [q[k * tp:(k + 1) * tp] for q in pend],
                                axis=0))                     # [grp*tp, pc]
                     fs[off_r:off_r + grp * tp,
-                       g * lpg + k * pc:g * lpg + (k + 1) * pc] = blk
+                       off_l + k * pc:off_l + (k + 1) * pc] = blk
                 pend = []
+
+
+def _fwd_gather_w_packed_kernel(gx8_ref, idx_ref, tab_ref, rk8k_ref,
+                                w2bd_ref, out_ref, fs, *, sigma, tp, kt, nt,
+                                n_sub, ac, c, d, pair):
+    """Gather + BD conv + learned GEMM with lane-dense narrow-c layout."""
+    gdt = tab_ref.dtype
+    prec = _precision(gdt)
+    _, g_all = _select_g_all(idx_ref, tab_ref, gdt, prec)
+    _build_packed_fs(gx8_ref, g_all, rk8k_ref, fs, tp=tp, kt=kt, nt=nt,
+                     n_sub=n_sub, ac=ac, c=c, pair=pair, gdt=gdt, prec=prec)
+    lpg = kt * pair * c
     for g in range(ac // pair):
         og = jax.lax.dot_general(
             fs[:, g * lpg:(g + 1) * lpg], w2bd_ref[...],
@@ -1293,6 +1333,119 @@ def _bwd_kernel_dw2(gx8_ref, idx_ref, tab_ref, rk8k_ref, dout_ref, dw2_ref,
             preferred_element_type=jnp.float32, precision=prec)
 
 
+def _bwd_kernel_dw2_packed(gx8_ref, idx_ref, tab_ref, rk8k_ref, dout_ref,
+                           dw2_ref, fs, dacc, *, tp, kt, nt, n_sub, ac, c,
+                           d, pair):
+    """Packed dW2 half: the lane-dense fs build in the TALL layout (anchor
+    group in rows), then the whole dW2 contribution is ONE dot contracting
+    all (g, t) rows against the anchor-group-stacked dout rows; the
+    (i == i') diagonal [C, D] blocks of the [lpg, pair*D] result accumulate
+    into dW2 (kt VPU slice-adds; cross-anchor blocks are discarded).
+    Replaces the per-anchor half-lane fs stores of _bwd_kernel_dw2 at
+    c < 128."""
+    gdt = tab_ref.dtype
+    prec = _precision(gdt)
+    first_all = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+                 & (pl.program_id(2) == 0))
+
+    @pl.when(first_all)
+    def _zero_dw2():
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+
+    _, g_all = _select_g_all(idx_ref, tab_ref, gdt, prec)
+    _build_packed_fs(gx8_ref, g_all, rk8k_ref, fs, tp=tp, kt=kt, nt=nt,
+                     n_sub=n_sub, ac=ac, c=c, pair=pair, gdt=gdt, prec=prec,
+                     tall=True)
+    pc = pair * c
+    t = n_sub * tp
+    for g in range(ac // pair):
+        dacc[g * t:(g + 1) * t, :] = (
+            dout_ref[0, :, g * pair * d:(g + 1) * pair * d])
+    res = jax.lax.dot_general(
+        fs[...], dacc[...],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec)                                  # [lpg, pair*D] f32
+    for k in range(kt):
+        acc = res[k * pc:k * pc + c, 0:d]
+        for i in range(1, pair):
+            acc = acc + res[k * pc + i * c:k * pc + (i + 1) * c,
+                            i * d:(i + 1) * d]
+        dw2_ref[k * c:(k + 1) * c, :] += acc
+
+
+def _bwd_kernel_dtab_packed(gx8_ref, idx_ref, rk8k_ref, w2_ref, dout_ref,
+                            dtab_ref, dFs, dacc, dgs, *, tp, kt, nt, n_sub,
+                            ac, c, d, pair):
+    """Packed dTable half: identical to _bwd_kernel_dtab except the pair
+    anchors' per-subtile dg dots are lane-concatenated (FRESH dot outputs,
+    zero-offset — unlike the Mosaic-illegal concat of offset slices, see
+    _pick_gpk) into one [S, pair*C] value so every dgs store is lane-dense.
+    """
+    gdt = dout_ref.dtype
+    prec = _precision(gdt)
+    pt = pl.program_id(2)
+
+    @pl.when(pt == 0)
+    def _zero_dtab():
+        dtab_ref[...] = jnp.zeros_like(dtab_ref)
+
+    idxv = idx_ref[0, 0]
+    rows = idxv.shape[0]
+    qp = dtab_ref.shape[1]
+    iot = jax.lax.broadcasted_iota(jnp.int32, (rows, qp), 1)
+    s_onehot = (iot == idxv[:, None]).astype(gdt)
+    s = tp * nt
+    t = n_sub * tp
+    for a in range(ac):
+        dacc[a * t:(a + 1) * t, :] = dout_ref[0, :, a * d:(a + 1) * d]
+    kg = _pick_kg(kt, c)
+    for k0 in range(0, kt, kg):
+        blk = jax.lax.dot_general(
+            dacc[:], w2_ref[k0 * c:(k0 + kg) * c, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(gdt)                        # [AC*T, kg*C]
+        for i in range(kg):
+            dFs[k0 + i] = blk[:, i * c:(i + 1) * c]
+    r = tp * kt
+    stg = 1 if tp >= 8 else 8 // tp
+    for g in range(ac // pair):
+        wp_all = jax.lax.dot_general(
+            rk8k_ref[g], gx8_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                                 # [pair*R, T*N~]
+        for st0 in range(0, n_sub, stg):
+            dfg = [None] * pair
+            for i in range(pair):
+                a = g * pair + i
+                dfg[i] = dFs[:, a * t + st0 * tp:
+                             a * t + (st0 + stg) * tp, :]   # [K~, 8, C]
+            for sj in range(stg):
+                st = st0 + sj
+                wp = wp_all[:, st * s:(st + 1) * s]         # [pair*R, S]
+                bd = jnp.maximum(wp, 0.0).astype(gdt)
+                dg_parts = []
+                for i in range(pair):
+                    bd_a = bd[i * r:(i + 1) * r, :]         # [R, S]
+                    dfi = (dfg[i] if stg == 1
+                           else dfg[i][:, sj * tp:(sj + 1) * tp, :])
+                    dg_parts.append(jax.lax.dot_general(
+                        bd_a, dfi.reshape(kt * tp, c),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec).astype(gdt))           # [S, C]
+                dg_pair = (dg_parts[0] if pair == 1 else
+                           jnp.concatenate(dg_parts, axis=1))  # [S, pair*C]
+                dgs[st * s:(st + 1) * s,
+                    g * pair * c:(g + 1) * pair * c] = dg_pair
+    dtab_ref[0] += jax.lax.dot_general(
+        s_onehot, dgs[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec)                                        # [Q~, AC*C]
+
+
 def _pick_n_sub_bwd_split(p, tp, kt, nt, c, d, ac, qp, g_itemsize, which):
     """Tile pick for the split backward kernels: each carries roughly half
     the one-kernel backward's scratch set, so tiles stay bigger."""
@@ -1328,7 +1481,16 @@ def _call_gather_w_bwd_split(gx8, idx3, tab, rk8k, w2, dout, sigma, tp, kt,
     p = gx8.shape[2] // nt
     gdt = tab.dtype
     isz = jnp.dtype(gdt).itemsize
-    pair = _pick_pair(ac, c)
+    # packed (lane-dense) kernel halves when the shape gates hold: dgs /
+    # fs stores at c < 128 are otherwise lane-padded c/128. Each half is
+    # gated separately (chip A/B per shape class; _PACKED_BWD_* for sweeps).
+    packed_av = (_pick_pair_packed(ac, c, d) > 1 and _packed_wanted(c))
+    packed_dtab = (packed_av if _PACKED_BWD_DTAB is None
+                   else packed_av and _PACKED_BWD_DTAB)
+    packed_dw2 = (packed_av if _PACKED_BWD_DW2 is None
+                  else packed_av and _PACKED_BWD_DW2)
+    packed = packed_dtab or packed_dw2
+    pair = _pick_pair_packed(ac, c, d) if packed else _pick_pair(ac, c)
     rk8k_p = _pair_rk8k(rk8k, tp * kt, pair) if pair > 1 else rk8k
     r = tp * kt
 
@@ -1336,9 +1498,10 @@ def _call_gather_w_bwd_split(gx8, idx3, tab, rk8k, w2, dout, sigma, tp, kt,
     assert n1 > 0, (p, tp, kt, nt, c, d, ac, qp)
     t1 = n1 * tp
     dtab = pl.pallas_call(
-        functools.partial(_bwd_kernel_dtab, tp=tp,
-                          kt=kt, nt=nt, n_sub=n1, ac=ac, c=c, d=d,
-                          pair=pair),
+        functools.partial(
+            _bwd_kernel_dtab_packed if packed_dtab else _bwd_kernel_dtab,
+            tp=tp, kt=kt, nt=nt, n_sub=n1, ac=ac, c=c, d=d,
+            pair=pair),
         grid=(b, na // ac, p // t1),
         in_specs=[
             pl.BlockSpec((1, 16, t1 * nt), lambda bb, ci, pt: (bb, 0, pt)),
@@ -1369,9 +1532,10 @@ def _call_gather_w_bwd_split(gx8, idx3, tab, rk8k, w2, dout, sigma, tp, kt,
     assert n2 > 0, (p, tp, kt, nt, c, d, ac, qp)
     t2 = n2 * tp
     dw2 = pl.pallas_call(
-        functools.partial(_bwd_kernel_dw2, tp=tp,
-                          kt=kt, nt=nt, n_sub=n2, ac=ac, c=c, d=d,
-                          pair=pair),
+        functools.partial(
+            _bwd_kernel_dw2_packed if packed_dw2 else _bwd_kernel_dw2,
+            tp=tp, kt=kt, nt=nt, n_sub=n2, ac=ac, c=c, d=d,
+            pair=pair),
         grid=(b, na // ac, p // t2),
         in_specs=[
             pl.BlockSpec((1, 16, t2 * nt), lambda bb, ci, pt: (bb, 0, pt)),
@@ -1383,8 +1547,12 @@ def _call_gather_w_bwd_split(gx8, idx3, tab, rk8k, w2, dout, sigma, tp, kt,
         ],
         out_specs=pl.BlockSpec((kt * c, d), lambda bb, ci, pt: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((kt * c, d), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((kt, ac * t2, c), gdt),
-                        pltpu.VMEM((ac * t2, d), gdt)],
+        scratch_shapes=(
+            [pltpu.VMEM(((ac // pair) * t2, kt * pair * c), gdt),
+             pltpu.VMEM(((ac // pair) * t2, pair * d), gdt)]
+            if packed_dw2 else
+            [pltpu.VMEM((kt, ac * t2, c), gdt),
+             pltpu.VMEM((ac * t2, d), gdt)]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
