@@ -1663,7 +1663,16 @@ def _fgcw_bwd(sigma, tp, kt, nt, ac, interpret, res, dout):
     d = w2.shape[1]
     gdt = table.dtype
     prec = _precision(gdt)
-    if _USE_FUSED_BWD:
+    # The 3DMatch inv backbone's W-fused TRAIN compiles overflow the
+    # remote compile helper (subprocess SIGKILL / >9 min hang, reproduced
+    # on the inv triplet step): its c<=32 (pair=4) and tp=2 (nn=64,
+    # grp=stg=4) backward kernels unroll far deeper than any flagship
+    # shape, and several of them land in one executable across the two
+    # triplet legs. Those shapes take the XLA-composed backward below
+    # instead. Only inv TRAINING pays; descriptor extraction (the
+    # contract metric) is forward-only, and no flagship layer has
+    # c<=32 or tp<4.
+    if _USE_FUSED_BWD and c > 32 and tp > 2:
         bwd_call = (_call_gather_w_bwd_split if tp <= _BWD_SPLIT_TP_MAX
                     else _call_gather_w_bwd)
         dtab32, dw32 = bwd_call(

@@ -137,7 +137,10 @@ def main():
                             fs[:, off:off + grp * tp, :] = blk
                             pend[i] = []
                 else:
-                    acc[0:8, :] += f2[0:8, :d].astype(jnp.float32)
+                    # keep-alive add; f2's stand-in lane width can be
+                    # narrower than d (bd has s=128 lanes; c can exceed it)
+                    w = min(d, f2.shape[1])
+                    acc[0:8, 0:w] += f2[0:8, 0:w].astype(jnp.float32)
         if stage == 'full':
             kg = ic._pick_kg(kt, c)
             for k0 in range(0, kt, kg):

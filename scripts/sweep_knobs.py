@@ -69,6 +69,9 @@ def main():
         plic.set_vmem_budget(int(combo.get('budget', 10) * 1024 * 1024))
         plic.set_kg_target(int(combo.get('kg', 512)))
         plic.set_pair(bool(combo.get('pair', 1)))
+        packed = combo.get('packed', 'auto')
+        plic.set_packed_mode(packed if packed == 'auto' else bool(packed))
+        plic.set_packed_srows(int(combo.get('srows', 8)))
         so3conv.set_anchor_chunk_override(int(combo.get('chunk', 0)) or None)
 
     # trace all combos (host-only; knob globals are baked in at trace time)

@@ -15,6 +15,15 @@ import pytest
 
 @pytest.mark.parametrize('model_name,batch,bound', [
     ('cls_so3net_pn', 4, 0.999),
+    # inv descriptors: the production mode's weakest agreement (on-chip
+    # min cosine 0.9664, BASELINE.md dtype table) AND the one feeding a
+    # nearest-neighbor metric — a stray cast in the inv head must fail CI.
+    # Bound calibrated under the 0.9664 chip measurement with CPU-emulation
+    # margin. NOTE (round-5 recall study): serving dtype must match the
+    # TRAINING dtype — a bf16-trained checkpoint served fp32 loses the
+    # match structure entirely (recall 50% -> 0%); this bound guards the
+    # fixed-weight forward agreement, not cross-dtype serving.
+    ('inv_so3net_pn', 2, 0.95),
 ])
 def test_bf16_fp32_fixed_weight_agreement(model_name, batch, bound):
     import jax
