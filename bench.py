@@ -29,7 +29,7 @@ loading a cached 78 MB binary through the tunnel costs more than compiling
 remotely — so it is deliberately not used).  The script therefore traces
 every workload first, compiles all executables concurrently, then runs the
 timings serially, and a total-time budget (BENCH_TIME_BUDGET seconds,
-default 520) skips remaining secondary metrics rather than dying to an
+default 600) skips remaining secondary metrics rather than dying to an
 external timeout.
 
 vs_baseline is measured against the driver target of 10,000 clouds/sec/chip
@@ -57,7 +57,7 @@ import numpy as np
 
 TARGET_CLOUDS_PER_SEC = 10_000.0
 T_START = time.perf_counter()
-BUDGET = float(os.environ.get('BENCH_TIME_BUDGET', 520))
+BUDGET = float(os.environ.get('BENCH_TIME_BUDGET', 600))
 
 _RTT = None
 
